@@ -1,0 +1,370 @@
+"""Per-batch extraction orchestration: input span rows → ordered output spans.
+
+This module is the ONLY Python that runs on the hot path, invoked from
+``pipeline.py`` via ``mapInArrow`` (whole docs, zero shuffle) or ``applyInPandas``
+(salted mega-doc chunks). Everything inside is vectorized pandas over Arrow batches.
+
+Routing semantics (reference: ``backend/app/main.py:171-205``):
+  * a doc is *searchable* iff ANY of its pdf_chars pages has stripped text length
+    > 50 (``main.py:57-66``) → native-text rules apply to its pdf_chars pages and
+    its ocr_words pages are ignored; otherwise pdf_chars pages are ignored and
+    ocr_words pages are OCR-grouped (the reference renders+OCRs the same pages;
+    here both representations may be present in one doc — FIXTURES.md).
+  * html and media spans are always processed, independent of the classifier.
+
+Sentinel totality (``main.py:361-372, 642-646, 731-735``): any doc whose payload
+fails to decode — or that hits an unexpected kernel exception (isolated by a
+per-doc fallback retry) — emits exactly one
+``(kind='error', text='[Error processing doc <doc_id>]', media_ref=NULL, offset=0)``
+span and counts as a parse failure; the job never aborts.
+
+Reading order (``main.py:288, 382, 389-391`` — explicit here, SURVEY.md §2 O7):
+output spans are ordered by (input span offset, within-payload sequence) and the
+final ``offset`` is the 0-based enumeration of that order per doc.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .kernels import html as html_k
+from .kernels import ocr as ocr_k
+from .kernels import pdf_text as pdf_k
+from .schema import (
+    EXTRACTED_ARROW,
+    INPUT_KINDS,
+    KIND_ERROR,
+    KIND_HTML,
+    KIND_MEDIA,
+    KIND_OCR_WORDS,
+    KIND_PDF_CHARS,
+    KIND_TEXT,
+)
+
+SEARCHABLE_THRESHOLD = 50  # main.py:64
+
+_OUT_COLS = ["doc_id", "out_offset", "kind", "text", "media_ref"]
+
+
+def _empty_out() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype=object),
+            "out_offset": pd.Series(dtype=np.int32),
+            "kind": pd.Series(dtype=object),
+            "text": pd.Series(dtype=object),
+            "media_ref": pd.Series(dtype=object),
+        }
+    )
+
+
+def extract_docs(span_rows: pd.DataFrame, all_doc_ids: np.ndarray) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Core vectorized extraction over exploded input spans.
+
+    span_rows: columns (doc_id, kind, text, media_ref, offset) — one row per input
+    span; all_doc_ids: every doc in the batch (docs with zero input spans included).
+    Returns (out_spans[_OUT_COLS], metrics[doc_id, n_spans, parse_failed, bytes_in]).
+    May raise — callers go through :func:`extract_docs_safe`.
+    """
+    sr = span_rows.reset_index(drop=True)
+    # lineage metric: bytes of input payload text per doc (utf-8)
+    tb = sr["text"].str.encode("utf-8").str.len().fillna(0).astype(np.int64)
+    bytes_in = (
+        pd.DataFrame({"doc_id": sr["doc_id"], "b": tb})
+        .groupby("doc_id", sort=False)["b"]
+        .sum()
+    )
+
+    failed: set = set()
+    kind = sr["kind"].astype(object)
+    known = kind.isin(INPUT_KINDS).to_numpy()
+    failed.update(sr.loc[~known, "doc_id"].unique())
+    needs_text = kind.isin([KIND_PDF_CHARS, KIND_OCR_WORDS, KIND_HTML]).to_numpy()
+    failed.update(sr.loc[needs_text & sr["text"].isna().to_numpy(), "doc_id"].unique())
+    failed.update(
+        sr.loc[(kind == KIND_MEDIA).to_numpy() & sr["media_ref"].isna().to_numpy(), "doc_id"].unique()
+    )
+
+    def ok_rows(k: str) -> pd.DataFrame:
+        m = (kind == k).to_numpy() & ~sr["doc_id"].isin(failed).to_numpy()
+        return sr.loc[m]
+
+    # --- pdf_chars: decode + searchable classification -------------------------
+    pdf_rows = ok_rows(KIND_PDF_CHARS)
+    pdf_pages = pdf_rows.rename(columns={"offset": "page", "text": "payload"})[
+        ["doc_id", "page", "payload"]
+    ]
+    pdf_events, bad_pdf = pdf_k.decode_pdf_char_events(pdf_pages)
+    failed.update(bad_pdf)
+    if len(bad_pdf):
+        pdf_events = pdf_events.loc[~pdf_events["doc_id"].isin(set(bad_pdf))]
+
+    plens = pdf_k.page_text_lengths(pdf_events)
+    searchable_docs = set(
+        plens.loc[plens["stripped_len"] > SEARCHABLE_THRESHOLD, "doc_id"].unique()
+    )
+    has_pdf = set(pdf_pages["doc_id"].unique()) - set(bad_pdf)
+
+    pdf_spans = pdf_k.segment_sentences(
+        pdf_events.loc[pdf_events["doc_id"].isin(searchable_docs)]
+    )
+
+    # --- ocr_words: only for docs NOT routed to the native-text path -----------
+    ocr_rows = ok_rows(KIND_OCR_WORDS)
+    ocr_rows = ocr_rows.loc[~ocr_rows["doc_id"].isin(searchable_docs)]
+    ocr_pages = ocr_rows.rename(columns={"offset": "page", "text": "payload"})[
+        ["doc_id", "page", "payload"]
+    ]
+    ocr_events, bad_ocr = ocr_k.decode_ocr_word_events(ocr_pages)
+    failed.update(bad_ocr)
+    if len(bad_ocr):
+        ocr_events = ocr_events.loc[~ocr_events["doc_id"].isin(set(bad_ocr))]
+    ocr_spans = ocr_k.group_ocr_lines(ocr_events)
+
+    # --- html -------------------------------------------------------------------
+    html_rows = ok_rows(KIND_HTML)
+    html_docs = html_rows.rename(columns={"offset": "page", "text": "payload"})[
+        ["doc_id", "page", "payload"]
+    ]
+    html_spans = html_k.extract_html_spans(html_docs)
+
+    # --- media passthrough (FIXTURES.md kind #4 / F17) ---------------------------
+    media_rows = ok_rows(KIND_MEDIA)
+
+    # --- assemble reading order ---------------------------------------------------
+    parts = []
+    if len(pdf_spans):
+        parts.append(
+            pd.DataFrame(
+                {
+                    "doc_id": pdf_spans["doc_id"],
+                    "in_off": pdf_spans["page"].astype(np.int64),
+                    "seq": pdf_spans["seq"],
+                    "kind": KIND_TEXT,
+                    "text": pdf_spans["text"],
+                    "media_ref": None,
+                }
+            )
+        )
+    if len(ocr_spans):
+        parts.append(
+            pd.DataFrame(
+                {
+                    "doc_id": ocr_spans["doc_id"],
+                    "in_off": ocr_spans["page"].astype(np.int64),
+                    "seq": ocr_spans["seq"],
+                    "kind": KIND_TEXT,
+                    "text": ocr_spans["text"],
+                    "media_ref": None,
+                }
+            )
+        )
+    if len(html_spans):
+        parts.append(
+            pd.DataFrame(
+                {
+                    "doc_id": html_spans["doc_id"],
+                    "in_off": html_spans["page"].astype(np.int64),
+                    "seq": html_spans["seq"],
+                    "kind": html_spans["kind"],
+                    "text": html_spans["text"],
+                    "media_ref": html_spans["media_ref"],
+                }
+            )
+        )
+    if len(media_rows):
+        parts.append(
+            pd.DataFrame(
+                {
+                    "doc_id": media_rows["doc_id"],
+                    "in_off": media_rows["offset"].astype(np.int64),
+                    "seq": 0,
+                    "kind": KIND_MEDIA,
+                    "text": media_rows["text"],
+                    "media_ref": media_rows["media_ref"],
+                }
+            )
+        )
+
+    if parts:
+        allp = pd.concat(parts, ignore_index=True)
+        allp = allp.loc[~allp["doc_id"].isin(failed)]
+        allp = allp.sort_values(["doc_id", "in_off", "seq"], kind="stable").reset_index(drop=True)
+        allp["out_offset"] = allp.groupby("doc_id", sort=False).cumcount().astype(np.int32)
+        out = allp[["doc_id", "out_offset", "kind", "text", "media_ref"]]
+    else:
+        out = _empty_out()
+
+    # --- error sentinels ----------------------------------------------------------
+    if failed:
+        fids = pd.Series(sorted(failed), dtype=object)
+        sent = pd.DataFrame(
+            {
+                "doc_id": fids,
+                "out_offset": np.int32(0),
+                "kind": KIND_ERROR,
+                "text": "[Error processing doc " + fids + "]",
+                "media_ref": None,
+            }
+        )
+        out = pd.concat([out, sent], ignore_index=True)
+
+    # --- per-doc metrics ------------------------------------------------------------
+    ids = pd.Series(all_doc_ids, dtype=object)
+    nsp = out.groupby("doc_id", sort=False).size()
+    metrics = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "n_spans": nsp.reindex(ids).fillna(0).astype(np.int64).to_numpy(),
+            "parse_failed": ids.isin(failed).to_numpy(),
+            "bytes_in": bytes_in.reindex(ids).fillna(0).astype(np.int64).to_numpy(),
+        }
+    )
+    return out, metrics
+
+
+def extract_docs_safe(
+    span_rows: pd.DataFrame, all_doc_ids: np.ndarray
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Sentinel-totality wrapper: on an unexpected kernel exception, retry per doc to
+    isolate the poison docs (cold path) — the batch never fails (main.py:361-372)."""
+    try:
+        return extract_docs(span_rows, all_doc_ids)
+    except Exception:
+        outs, mets = [], []
+        for did in all_doc_ids:
+            rows = span_rows.loc[span_rows["doc_id"] == did]
+            try:
+                o, m = extract_docs(rows, np.array([did], dtype=object))
+            except Exception:
+                o = pd.DataFrame(
+                    {
+                        "doc_id": [did],
+                        "out_offset": np.array([0], dtype=np.int32),
+                        "kind": [KIND_ERROR],
+                        "text": [f"[Error processing doc {did}]"],
+                        "media_ref": [None],
+                    }
+                )
+                m = pd.DataFrame(
+                    {
+                        "doc_id": [did],
+                        "n_spans": np.array([1], dtype=np.int64),
+                        "parse_failed": [True],
+                        "bytes_in": np.array([0], dtype=np.int64),
+                    }
+                )
+            outs.append(o)
+            mets.append(m)
+        return (
+            pd.concat(outs, ignore_index=True) if outs else _empty_out(),
+            pd.concat(mets, ignore_index=True)
+            if mets
+            else pd.DataFrame(columns=["doc_id", "n_spans", "parse_failed", "bytes_in"]),
+        )
+
+
+# ---------------------------------------------------------------------------------
+# Arrow-level plumbing for mapInArrow (zero-copy explode / reassemble)
+# ---------------------------------------------------------------------------------
+
+
+def _record_batch_to_rows(batch: pa.RecordBatch) -> tuple[np.ndarray, pd.DataFrame]:
+    """Flatten (doc_id, spans list<struct>) Arrow batch to exploded pandas span rows
+    using Arrow list offsets — vectorized, no Python per row."""
+    import pyarrow.compute as pc
+
+    doc_ids = batch.column("doc_id").to_pandas().to_numpy(dtype=object)
+    spans = batch.column("spans")
+    parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(spans)
+    span_rows = pd.DataFrame(
+        {
+            "doc_id": doc_ids[parent],
+            "kind": flat.field("kind").to_pandas().to_numpy(dtype=object),
+            "text": flat.field("text").to_pandas().to_numpy(dtype=object),
+            "media_ref": flat.field("media_ref").to_pandas().to_numpy(dtype=object),
+            "offset": flat.field("offset").to_pandas().to_numpy(np.int64),
+        }
+    )
+    return doc_ids, span_rows
+
+
+def _rows_to_record_batch(
+    doc_ids: np.ndarray, out: pd.DataFrame, metrics: pd.DataFrame
+) -> pa.RecordBatch:
+    """Reassemble output span rows into the EXTRACTED_ARROW batch, preserving the
+    input doc order and emitting an empty spans array for spanless docs."""
+    order = pd.DataFrame({"doc_id": doc_ids, "_doc_pos": np.arange(len(doc_ids))})
+    o = out.merge(order, on="doc_id", how="inner")
+    o = o.sort_values(["_doc_pos", "out_offset"], kind="stable")
+
+    counts = (
+        o.groupby("_doc_pos", sort=True)
+        .size()
+        .reindex(range(len(doc_ids)), fill_value=0)
+        .to_numpy()
+    )
+    offsets = np.zeros(len(doc_ids) + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(o["kind"].to_numpy(dtype=object), type=pa.string()),
+            pa.array(o["text"].where(o["text"].notna(), None).to_numpy(dtype=object), type=pa.string()),
+            pa.array(
+                o["media_ref"].where(o["media_ref"].notna(), None).to_numpy(dtype=object),
+                type=pa.string(),
+            ),
+            pa.array(o["out_offset"].to_numpy(np.int32), type=pa.int32()),
+        ],
+        fields=list(EXTRACTED_ARROW.field("spans").type.value_type),
+    )
+    spans_arr = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), struct)
+
+    m = metrics.set_index("doc_id").reindex(pd.Index(doc_ids))
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(doc_ids, type=pa.string()),
+            spans_arr,
+            pa.array(m["n_spans"].fillna(0).to_numpy(np.int64), type=pa.int64()),
+            pa.array(m["parse_failed"].fillna(True).to_numpy(bool), type=pa.bool_()),
+            pa.array(m["bytes_in"].fillna(0).to_numpy(np.int64), type=pa.int64()),
+        ],
+        schema=EXTRACTED_ARROW,
+    )
+
+
+def extract_map_in_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """The mapInArrow function: corpus batches in, EXTRACTED_ARROW batches out."""
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        doc_ids, span_rows = _record_batch_to_rows(batch)
+        out, metrics = extract_docs_safe(span_rows, doc_ids)
+        yield _rows_to_record_batch(doc_ids, out, metrics)
+
+
+def extract_batch_pandas(docs: pd.DataFrame) -> pd.DataFrame:
+    """Pandas-level convenience used by tests and the applyInPandas mega-doc path:
+    (doc_id, spans: list[dict]) → EXTRACTED_ARROW-shaped pandas frame."""
+    doc_ids = docs["doc_id"].to_numpy(dtype=object)
+    n = docs["spans"].str.len().fillna(0).astype(np.int64).to_numpy()
+    idx = np.repeat(np.arange(len(docs)), n)
+    flat = [s for lst in docs["spans"] for s in (lst if lst is not None else [])]
+    span_rows = pd.DataFrame(
+        {
+            "doc_id": doc_ids[idx],
+            "kind": [s["kind"] for s in flat],
+            "text": [s["text"] for s in flat],
+            "media_ref": [s["media_ref"] for s in flat],
+            "offset": np.array([s["offset"] for s in flat], dtype=np.int64),
+        }
+    )
+    out, metrics = extract_docs_safe(span_rows, doc_ids)
+    rb = _rows_to_record_batch(doc_ids, out, metrics)
+    return rb.to_pandas()
