@@ -62,15 +62,31 @@ def _empty_out() -> pd.DataFrame:
     )
 
 
-def extract_docs(span_rows: pd.DataFrame, all_doc_ids: np.ndarray) -> tuple[pd.DataFrame, pd.DataFrame]:
+def extract_docs(
+    span_rows: pd.DataFrame,
+    all_doc_ids: np.ndarray,
+    *,
+    enumerate_offsets: bool = True,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Core vectorized extraction over exploded input spans.
 
     span_rows: columns (doc_id, kind, text, media_ref, offset) — one row per input
-    span; all_doc_ids: every doc in the batch (docs with zero input spans included).
-    Returns (out_spans[_OUT_COLS], metrics[doc_id, n_spans, parse_failed, bytes_in]).
+    span — plus optionally:
+      * ``pos``   — the span's index within the doc's input array (deterministic
+        tie-break for duplicate offsets; defaults to the row order per doc)
+      * ``route`` — doc-level routing override for the salted mega-doc path
+        ('text' | 'ocr' | None): a chunk cannot see the sibling pages that decide
+        the searchable classifier, so the pipeline pre-computes it (SURVEY.md §2 S5)
+    all_doc_ids: every doc in the batch (docs with zero input spans included).
+    With enumerate_offsets=False, returns rows keyed (doc_id, in_off, pos, seq)
+    WITHOUT final per-doc offset enumeration (sentinels get in_off=-1) — the salted
+    path enumerates after reassembling all chunks of a doc.
+    Returns (out_spans, metrics[doc_id, n_spans, parse_failed, bytes_in]).
     May raise — callers go through :func:`extract_docs_safe`.
     """
     sr = span_rows.reset_index(drop=True)
+    if "pos" not in sr.columns:
+        sr["pos"] = sr.groupby("doc_id", sort=False).cumcount()
     # lineage metric: bytes of input payload text per doc (utf-8)
     tb = sr["text"].str.encode("utf-8").str.len().fillna(0).astype(np.int64)
     bytes_in = (
@@ -93,10 +109,15 @@ def extract_docs(span_rows: pd.DataFrame, all_doc_ids: np.ndarray) -> tuple[pd.D
         m = (kind == k).to_numpy() & ~sr["doc_id"].isin(failed).to_numpy()
         return sr.loc[m]
 
+    def attach_pos(spans: pd.DataFrame, pages: pd.DataFrame) -> pd.DataFrame:
+        """Carry the input-array position onto kernel outputs (tie-break key)."""
+        key = pages.drop_duplicates(["doc_id", "page"])[["doc_id", "page", "pos"]]
+        return spans.merge(key, on=["doc_id", "page"], how="left")
+
     # --- pdf_chars: decode + searchable classification -------------------------
     pdf_rows = ok_rows(KIND_PDF_CHARS)
     pdf_pages = pdf_rows.rename(columns={"offset": "page", "text": "payload"})[
-        ["doc_id", "page", "payload"]
+        ["doc_id", "page", "payload", "pos"]
     ]
     pdf_events, bad_pdf = pdf_k.decode_pdf_char_events(pdf_pages)
     failed.update(bad_pdf)
@@ -107,30 +128,38 @@ def extract_docs(span_rows: pd.DataFrame, all_doc_ids: np.ndarray) -> tuple[pd.D
     searchable_docs = set(
         plens.loc[plens["stripped_len"] > SEARCHABLE_THRESHOLD, "doc_id"].unique()
     )
-    has_pdf = set(pdf_pages["doc_id"].unique()) - set(bad_pdf)
+    # mega-doc chunk path: the pipeline pre-computed doc-level routing (a chunk
+    # cannot see sibling pages) — apply the override
+    if "route" in sr.columns:
+        rt = sr.dropna(subset=["route"]).drop_duplicates("doc_id")
+        searchable_docs |= set(rt.loc[rt["route"] == "text", "doc_id"])
+        searchable_docs -= set(rt.loc[rt["route"] == "ocr", "doc_id"])
 
     pdf_spans = pdf_k.segment_sentences(
         pdf_events.loc[pdf_events["doc_id"].isin(searchable_docs)]
     )
+    pdf_spans = attach_pos(pdf_spans, pdf_pages)
 
     # --- ocr_words: only for docs NOT routed to the native-text path -----------
     ocr_rows = ok_rows(KIND_OCR_WORDS)
     ocr_rows = ocr_rows.loc[~ocr_rows["doc_id"].isin(searchable_docs)]
     ocr_pages = ocr_rows.rename(columns={"offset": "page", "text": "payload"})[
-        ["doc_id", "page", "payload"]
+        ["doc_id", "page", "payload", "pos"]
     ]
     ocr_events, bad_ocr = ocr_k.decode_ocr_word_events(ocr_pages)
     failed.update(bad_ocr)
     if len(bad_ocr):
         ocr_events = ocr_events.loc[~ocr_events["doc_id"].isin(set(bad_ocr))]
     ocr_spans = ocr_k.group_ocr_lines(ocr_events)
+    ocr_spans = attach_pos(ocr_spans, ocr_pages)
 
     # --- html -------------------------------------------------------------------
     html_rows = ok_rows(KIND_HTML)
     html_docs = html_rows.rename(columns={"offset": "page", "text": "payload"})[
-        ["doc_id", "page", "payload"]
+        ["doc_id", "page", "payload", "pos"]
     ]
-    html_spans = html_k.extract_html_spans(html_docs)
+    html_spans = html_k.extract_html_spans(html_docs[["doc_id", "page", "payload"]])
+    html_spans = attach_pos(html_spans, html_docs)
 
     # --- media passthrough (FIXTURES.md kind #4 / F17) ---------------------------
     media_rows = ok_rows(KIND_MEDIA)
@@ -143,6 +172,7 @@ def extract_docs(span_rows: pd.DataFrame, all_doc_ids: np.ndarray) -> tuple[pd.D
                 {
                     "doc_id": pdf_spans["doc_id"],
                     "in_off": pdf_spans["page"].astype(np.int64),
+                    "pos": pdf_spans["pos"].astype(np.int64),
                     "seq": pdf_spans["seq"],
                     "kind": KIND_TEXT,
                     "text": pdf_spans["text"],
@@ -156,6 +186,7 @@ def extract_docs(span_rows: pd.DataFrame, all_doc_ids: np.ndarray) -> tuple[pd.D
                 {
                     "doc_id": ocr_spans["doc_id"],
                     "in_off": ocr_spans["page"].astype(np.int64),
+                    "pos": ocr_spans["pos"].astype(np.int64),
                     "seq": ocr_spans["seq"],
                     "kind": KIND_TEXT,
                     "text": ocr_spans["text"],
@@ -169,6 +200,7 @@ def extract_docs(span_rows: pd.DataFrame, all_doc_ids: np.ndarray) -> tuple[pd.D
                 {
                     "doc_id": html_spans["doc_id"],
                     "in_off": html_spans["page"].astype(np.int64),
+                    "pos": html_spans["pos"].astype(np.int64),
                     "seq": html_spans["seq"],
                     "kind": html_spans["kind"],
                     "text": html_spans["text"],
@@ -182,6 +214,7 @@ def extract_docs(span_rows: pd.DataFrame, all_doc_ids: np.ndarray) -> tuple[pd.D
                 {
                     "doc_id": media_rows["doc_id"],
                     "in_off": media_rows["offset"].astype(np.int64),
+                    "pos": media_rows["pos"].astype(np.int64),
                     "seq": 0,
                     "kind": KIND_MEDIA,
                     "text": media_rows["text"],
@@ -193,11 +226,12 @@ def extract_docs(span_rows: pd.DataFrame, all_doc_ids: np.ndarray) -> tuple[pd.D
     if parts:
         allp = pd.concat(parts, ignore_index=True)
         allp = allp.loc[~allp["doc_id"].isin(failed)]
-        allp = allp.sort_values(["doc_id", "in_off", "seq"], kind="stable").reset_index(drop=True)
+        allp = allp.sort_values(["doc_id", "in_off", "pos", "seq"], kind="stable").reset_index(
+            drop=True
+        )
         allp["out_offset"] = allp.groupby("doc_id", sort=False).cumcount().astype(np.int32)
-        out = allp[["doc_id", "out_offset", "kind", "text", "media_ref"]]
     else:
-        out = _empty_out()
+        allp = _empty_out().assign(in_off=np.int64(0), pos=np.int64(0), seq=np.int64(0))
 
     # --- error sentinels ----------------------------------------------------------
     if failed:
@@ -205,13 +239,21 @@ def extract_docs(span_rows: pd.DataFrame, all_doc_ids: np.ndarray) -> tuple[pd.D
         sent = pd.DataFrame(
             {
                 "doc_id": fids,
+                "in_off": np.int64(-1),
+                "pos": np.int64(-1),
+                "seq": np.int64(0),
                 "out_offset": np.int32(0),
                 "kind": KIND_ERROR,
                 "text": "[Error processing doc " + fids + "]",
                 "media_ref": None,
             }
         )
-        out = pd.concat([out, sent], ignore_index=True)
+        allp = pd.concat([allp, sent], ignore_index=True)
+
+    if enumerate_offsets:
+        out = allp[["doc_id", "out_offset", "kind", "text", "media_ref"]]
+    else:
+        out = allp[["doc_id", "in_off", "pos", "seq", "kind", "text", "media_ref"]]
 
     # --- per-doc metrics ------------------------------------------------------------
     ids = pd.Series(all_doc_ids, dtype=object)
@@ -228,27 +270,40 @@ def extract_docs(span_rows: pd.DataFrame, all_doc_ids: np.ndarray) -> tuple[pd.D
 
 
 def extract_docs_safe(
-    span_rows: pd.DataFrame, all_doc_ids: np.ndarray
+    span_rows: pd.DataFrame,
+    all_doc_ids: np.ndarray,
+    *,
+    enumerate_offsets: bool = True,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Sentinel-totality wrapper: on an unexpected kernel exception, retry per doc to
     isolate the poison docs (cold path) — the batch never fails (main.py:361-372)."""
     try:
-        return extract_docs(span_rows, all_doc_ids)
+        return extract_docs(span_rows, all_doc_ids, enumerate_offsets=enumerate_offsets)
     except Exception:
         outs, mets = [], []
         for did in all_doc_ids:
             rows = span_rows.loc[span_rows["doc_id"] == did]
             try:
-                o, m = extract_docs(rows, np.array([did], dtype=object))
+                o, m = extract_docs(
+                    rows, np.array([did], dtype=object), enumerate_offsets=enumerate_offsets
+                )
             except Exception:
                 o = pd.DataFrame(
                     {
                         "doc_id": [did],
+                        "in_off": np.array([-1], dtype=np.int64),
+                        "pos": np.array([-1], dtype=np.int64),
+                        "seq": np.array([0], dtype=np.int64),
                         "out_offset": np.array([0], dtype=np.int32),
                         "kind": [KIND_ERROR],
                         "text": [f"[Error processing doc {did}]"],
                         "media_ref": [None],
                     }
+                )
+                o = (
+                    o[["doc_id", "out_offset", "kind", "text", "media_ref"]]
+                    if enumerate_offsets
+                    else o[["doc_id", "in_off", "pos", "seq", "kind", "text", "media_ref"]]
                 )
                 m = pd.DataFrame(
                     {
@@ -282,6 +337,11 @@ def _record_batch_to_rows(batch: pa.RecordBatch) -> tuple[np.ndarray, pd.DataFra
     spans = batch.column("spans")
     parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
     flat = pc.list_flatten(spans)
+    # pos = index within the doc's input array (flat rows are parent-ordered)
+    counts = np.bincount(parent, minlength=len(doc_ids)) if len(parent) else np.zeros(len(doc_ids), np.int64)
+    starts = np.zeros(len(doc_ids), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:]) if len(doc_ids) > 1 else None
+    pos = np.arange(len(parent), dtype=np.int64) - starts[parent] if len(parent) else np.empty(0, np.int64)
     span_rows = pd.DataFrame(
         {
             "doc_id": doc_ids[parent],
@@ -289,6 +349,7 @@ def _record_batch_to_rows(batch: pa.RecordBatch) -> tuple[np.ndarray, pd.DataFra
             "text": flat.field("text").to_pandas().to_numpy(dtype=object),
             "media_ref": flat.field("media_ref").to_pandas().to_numpy(dtype=object),
             "offset": flat.field("offset").to_pandas().to_numpy(np.int64),
+            "pos": pos,
         }
     )
     return doc_ids, span_rows
@@ -347,6 +408,22 @@ def extract_map_in_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Recor
         doc_ids, span_rows = _record_batch_to_rows(batch)
         out, metrics = extract_docs_safe(span_rows, doc_ids)
         yield _rows_to_record_batch(doc_ids, out, metrics)
+
+
+def extract_chunk_map_in_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow function for the salted mega-doc path: chunk rows (one row per
+    input span, with pre-computed doc routing) in, CHUNK_OUT_ARROW rows out — no
+    final offset enumeration (the reassembly groupBy seals offsets)."""
+    from .schema import CHUNK_OUT_ARROW
+
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        df = batch.to_pandas()
+        doc_ids = df["doc_id"].unique()
+        out, _ = extract_docs_safe(df, doc_ids, enumerate_offsets=False)
+        out = out.astype({"in_off": np.int64, "pos": np.int64, "seq": np.int64})
+        yield pa.RecordBatch.from_pandas(out, schema=CHUNK_OUT_ARROW, preserve_index=False)
 
 
 def extract_batch_pandas(docs: pd.DataFrame) -> pd.DataFrame:

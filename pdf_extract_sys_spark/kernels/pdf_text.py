@@ -175,6 +175,22 @@ def decode_pdf_char_events(pages: pd.DataFrame) -> tuple[pd.DataFrame, pd.Index]
     return events, bad_idx
 
 
+def payload_stripped_lengths(payloads: pd.Series) -> pd.Series:
+    """Per-payload ``len(full_text.strip())`` (the searchable-classifier input,
+    main.py:62-64); -1 for malformed payloads. Used by the salted mega-doc path to
+    pre-compute doc routing. Vectorized over the whole Arrow batch."""
+    idx = pd.RangeIndex(len(payloads))
+    frame = pd.DataFrame({"doc_id": idx.astype(np.int64), "page": 0, "payload": payloads.to_numpy(dtype=object)})
+    events, bad = decode_pdf_char_events(frame)
+    out = pd.Series(np.zeros(len(payloads), dtype=np.int64), index=idx)
+    if len(events):
+        lens = page_text_lengths(events).set_index("doc_id")["stripped_len"]
+        out.loc[lens.index] = lens.to_numpy()
+    if len(bad):
+        out.loc[list(bad)] = -1
+    return out
+
+
 def page_text_lengths(events: pd.DataFrame) -> pd.DataFrame:
     """len(full_text.strip()) per (doc_id, page) — feeds the searchable classifier
     (main.py:57-66: ANY page with stripped text length > 50 ⇒ searchable).
