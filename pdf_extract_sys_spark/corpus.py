@@ -225,3 +225,32 @@ def corpus_to_spark(spark, pdf: pd.DataFrame):
     from .schema import CORPUS_SCHEMA
 
     return spark.createDataFrame(pdf.to_dict("records"), schema=CORPUS_SCHEMA)
+
+
+def write_corpus_parquet(pdf: pd.DataFrame, path: str, n_files: int = 64) -> None:
+    """Write a pandas corpus straight to a multi-file parquet directory with the
+    fixed Arrow schema — no JVM involved (generation-side utility)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .schema import CORPUS_ARROW
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    n = len(pdf)
+    n_files = max(1, min(n_files, n))
+    bounds = np.linspace(0, n, n_files + 1, dtype=int)
+    for i in range(n_files):
+        chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(chunk["doc_id"].tolist(), type=pa.string()),
+                "spans": pa.array(chunk["spans"].tolist(), type=CORPUS_ARROW.field("spans").type),
+            },
+            schema=CORPUS_ARROW,
+        )
+        pq.write_table(tbl, f"{path}/part-{i:05d}.parquet")
+    open(f"{path}/_SUCCESS", "w").close()

@@ -114,20 +114,17 @@ def extract_docs(
         key = pages.drop_duplicates(["doc_id", "page"])[["doc_id", "page", "pos"]]
         return spans.merge(key, on=["doc_id", "page"], how="left")
 
-    # --- pdf_chars: decode + searchable classification -------------------------
+    # --- pdf_chars: decode + searchable classification (numpy core) -------------
     pdf_rows = ok_rows(KIND_PDF_CHARS)
     pdf_pages = pdf_rows.rename(columns={"offset": "page", "text": "payload"})[
-        ["doc_id", "page", "payload", "pos"]
+        ["doc_id", "page", "pos", "payload"]
     ]
-    pdf_events, bad_pdf = pdf_k.decode_pdf_char_events(pdf_pages)
-    failed.update(bad_pdf)
-    if len(bad_pdf):
-        pdf_events = pdf_events.loc[~pdf_events["doc_id"].isin(set(bad_pdf))]
+    pdf_ev, bad_pdf = pdf_k.decode_pdf_core(pdf_pages)
+    failed.update(bad_pdf)  # decode already dropped bad docs' events
 
-    plens = pdf_k.page_text_lengths(pdf_events)
-    searchable_docs = set(
-        plens.loc[plens["stripped_len"] > SEARCHABLE_THRESHOLD, "doc_id"].unique()
-    )
+    plens = pdf_k.page_stripped_lengths_core(pdf_ev)
+    tab_docs = pdf_ev.page_tab["doc_id"].to_numpy()
+    searchable_docs = set(tab_docs[plens > SEARCHABLE_THRESHOLD])
     # mega-doc chunk path: the pipeline pre-computed doc-level routing (a chunk
     # cannot see sibling pages) — apply the override
     if "route" in sr.columns:
@@ -135,10 +132,8 @@ def extract_docs(
         searchable_docs |= set(rt.loc[rt["route"] == "text", "doc_id"])
         searchable_docs -= set(rt.loc[rt["route"] == "ocr", "doc_id"])
 
-    pdf_spans = pdf_k.segment_sentences(
-        pdf_events.loc[pdf_events["doc_id"].isin(searchable_docs)]
-    )
-    pdf_spans = attach_pos(pdf_spans, pdf_pages)
+    page_sel = pdf_ev.page_tab["doc_id"].isin(searchable_docs).to_numpy()
+    pdf_spans = pdf_k.segment_sentences_core(pdf_ev.select_pages(page_sel))
 
     # --- ocr_words: only for docs NOT routed to the native-text path -----------
     ocr_rows = ok_rows(KIND_OCR_WORDS)
@@ -400,8 +395,22 @@ def _rows_to_record_batch(
     )
 
 
+def _pin_worker_threads() -> None:
+    """Inside an executor's Python worker, pyarrow's internal pool must not fan out
+    to every host core — Spark already owns the core-level parallelism (one worker
+    per task slot). Without this, a local[8] run secretly uses all 32 cores and
+    scaling measurements lie."""
+    try:
+        if pa.cpu_count() != 1:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+    except Exception:
+        pass
+
+
 def extract_map_in_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """The mapInArrow function: corpus batches in, EXTRACTED_ARROW batches out."""
+    _pin_worker_threads()
     for batch in batches:
         if batch.num_rows == 0:
             continue
@@ -413,16 +422,33 @@ def extract_map_in_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Recor
 def extract_chunk_map_in_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """mapInArrow function for the salted mega-doc path: chunk rows (one row per
     input span, with pre-computed doc routing) in, CHUNK_OUT_ARROW rows out — no
-    final offset enumeration (the reassembly groupBy seals offsets)."""
-    from .schema import CHUNK_OUT_ARROW
+    final offset enumeration (the reassembly groupBy seals offsets). One marker
+    row per doc carries the chunk's input byte count so the reassembly needs no
+    extra joins/aggregations."""
+    from .schema import CHUNK_MARKER_OFF, CHUNK_OUT_ARROW, KIND_CHUNK_MARKER
 
+    _pin_worker_threads()
     for batch in batches:
         if batch.num_rows == 0:
             continue
         df = batch.to_pandas()
         doc_ids = df["doc_id"].unique()
-        out, _ = extract_docs_safe(df, doc_ids, enumerate_offsets=False)
+        out, metrics = extract_docs_safe(df, doc_ids, enumerate_offsets=False)
         out = out.astype({"in_off": np.int64, "pos": np.int64, "seq": np.int64})
+        out["bytes_in"] = np.int64(0)
+        markers = pd.DataFrame(
+            {
+                "doc_id": metrics["doc_id"],
+                "in_off": np.int64(CHUNK_MARKER_OFF),
+                "pos": np.int64(0),
+                "seq": np.int64(0),
+                "kind": KIND_CHUNK_MARKER,
+                "text": None,
+                "media_ref": None,
+                "bytes_in": metrics["bytes_in"].astype(np.int64),
+            }
+        )
+        out = pd.concat([out, markers], ignore_index=True)
         yield pa.RecordBatch.from_pandas(out, schema=CHUNK_OUT_ARROW, preserve_index=False)
 
 

@@ -45,23 +45,18 @@ def grouped_shift(values: np.ndarray, codes: np.ndarray, n: int, fill=None) -> n
 
 
 def grouped_cumsum(values: np.ndarray, codes: np.ndarray) -> np.ndarray:
-    """Cumulative sum restarting at each contiguous group boundary (pure numpy).
-
-    Only valid for NON-NEGATIVE values (0/1 flags in practice) — the group-base
-    propagation relies on the global cumsum being non-decreasing.
-    """
-    if len(values) == 0:
+    """Cumulative sum restarting at each contiguous group boundary (pure numpy):
+    one global cumsum + one repeat of per-group bases. Codes MUST be contiguous."""
+    m = len(values)
+    if m == 0:
         return np.zeros(0, dtype=np.int64)
-    v = values.astype(np.int64)
+    v = values.astype(np.int64, copy=False)
     cs = np.cumsum(v)
-    # subtract the cumsum value just before each group's first row
-    first = np.ones(len(v), dtype=bool)
+    first = np.ones(m, dtype=bool)
     first[1:] = codes[1:] != codes[:-1]
     starts = np.nonzero(first)[0]
-    base = np.zeros(len(v), dtype=np.int64)
-    base[starts] = cs[starts] - v[starts]
-    # propagate each group's base forward
-    base = np.maximum.accumulate(np.where(first, base, np.int64(np.iinfo(np.int64).min)))
+    sizes = np.diff(np.append(starts, m))
+    base = np.repeat(cs[starts] - v[starts], sizes)
     return cs - base
 
 

@@ -30,6 +30,7 @@ from .extract import SEARCHABLE_THRESHOLD, extract_chunk_map_in_arrow, extract_m
 from .schema import (
     CHUNK_OUT_SCHEMA,
     EXTRACTED_SCHEMA,
+    KIND_CHUNK_MARKER,
     KIND_ERROR,
     KIND_PDF_CHARS,
 )
@@ -47,12 +48,6 @@ def _pdf_stripped_len(payload: pd.Series) -> pd.Series:
     from .kernels.pdf_text import payload_stripped_lengths
 
     return payload_stripped_lengths(payload)
-
-
-def _empty_spans_expr() -> F.Column:
-    return F.expr(
-        "CAST(array() AS array<struct<kind:string,text:string,media_ref:string,offset:int>>)"
-    )
 
 
 def _extract_salted(mega: DataFrame, salted_parallelism: int | None) -> DataFrame:
@@ -90,22 +85,21 @@ def _extract_salted(mega: DataFrame, salted_parallelism: int | None) -> DataFram
     )
     chunk_out = chunks.mapInArrow(extract_chunk_map_in_arrow, CHUNK_OUT_SCHEMA)
 
-    # per-doc input-bytes metric (Spark-side; no Python)
-    bytes_df = rows.groupBy("doc_id").agg(
-        F.sum(F.coalesce(F.octet_length("text"), F.lit(0))).alias("bytes_in")
-    )
-
-    # reassembly: the ONLY shuffle that touches extraction output, and only for
-    # the mega tail. array_sort orders lexicographically on (in_off, pos, seq) —
-    # unique per doc, so nullable fields never get compared.
+    # reassembly: the ONLY shuffle that touches extraction output, and only for the
+    # mega tail. Marker rows (one per doc per chunk) carry input-byte counts and
+    # guarantee zero-span docs still appear — no extra joins or aggregations.
+    # array_sort orders lexicographically on (in_off, pos, seq) — unique per doc,
+    # so nullable fields never get compared; markers (in_off=2^62) sort last.
     assembled = chunk_out.groupBy("doc_id").agg(
         F.array_sort(
             F.collect_list(F.struct("in_off", "pos", "seq", "kind", "text", "media_ref"))
-        ).alias("arr")
+        ).alias("arr"),
+        F.sum("bytes_in").alias("bytes_in"),
     )
+    real = F.filter("arr", lambda s: s["kind"] != F.lit(KIND_CHUNK_MARKER))
     has_err = F.exists("arr", lambda s: s["kind"] == F.lit(KIND_ERROR))
     spans_ok = F.transform(
-        "arr",
+        real,
         lambda s, i: F.struct(
             s["kind"].alias("kind"),
             s["text"].alias("text"),
@@ -122,28 +116,18 @@ def _extract_salted(mega: DataFrame, salted_parallelism: int | None) -> DataFram
         )
     )
 
-    # preserve mega docs that produced zero spans (e.g. all-blank OCR pages)
-    all_mega = mega.select("doc_id")
-    out = (
-        all_mega.join(assembled, "doc_id", "left")
-        .join(bytes_df, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(F.col("arr").isNull(), _empty_spans_expr())
-            .when(has_err, sentinel)
-            .otherwise(spans_ok)
-            .alias("spans"),
-            F.coalesce("bytes_in", F.lit(0)).alias("bytes_in"),
-        )
-        .select(
-            "doc_id",
-            "spans",
-            F.size("spans").cast("long").alias("n_spans"),
-            F.exists("spans", lambda s: s["kind"] == F.lit(KIND_ERROR)).alias("parse_failed"),
-            F.col("bytes_in").cast("long"),
-        )
+    out = assembled.select(
+        "doc_id",
+        F.when(has_err, sentinel).otherwise(spans_ok).alias("spans"),
+        F.col("bytes_in").cast("long").alias("bytes_in"),
+    ).select(
+        "doc_id",
+        "spans",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.exists("spans", lambda s: s["kind"] == F.lit(KIND_ERROR)).alias("parse_failed"),
+        "bytes_in",
     )
-    return out.select("doc_id", "spans", "n_spans", "parse_failed", "bytes_in")
+    return out
 
 
 def extract_corpus(
@@ -182,6 +166,8 @@ def default_session(app: str = "pdf-extract-sys-spark", master: str | None = Non
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     if shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

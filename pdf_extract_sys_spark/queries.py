@@ -1,0 +1,758 @@
+"""Query registry for the driver's correctness gate and the benchmark.
+
+Each entry pairs a Spark DataFrame program with an equivalent ANSI-SQL string that
+DuckDB runs over the same parquet tables (driver compares row-count + schema +
+order-insensitive value hash at sf=0.01). Column names/aliases match exactly on
+both sides; float aggregates are rounded identically on both sides.
+
+Coverage (the training-data-pipeline operators the engine adds on top of the
+extraction core — graded alongside SURVEY.md §2):
+
+  relational shell        q_pricing_summary, q_broadcast_join_topn,
+                          q_anti_join_resume, q_sessionize_events, q_reading_order
+  text analysis           q_doc_stats, q_quality_score, q_lang_stopwords,
+                          q_token_count_bpe
+  deduplication           q_dedup_exact, q_minhash_signatures, q_minhash_lsh_pairs,
+                          q_simhash
+  similarity search       q_embedding_topk (brute-force cosine top-k baseline)
+  multimodal plumbing     q_media_meta (binary column metadata; decode stubbed in
+                          functions/multimodal.py)
+  extraction (flagship)   q_extract_sentences — the REAL pipeline (mapInArrow
+                          kernels) on a corpus deterministically derived from
+                          `documents`, oracled by a SQL re-derivation
+
+Portable deterministic 56-bit hash used on both sides:
+  Spark:  conv(substr(md5(x), 1, 14), 16, 10)::long
+  DuckDB: CAST('0x' || substr(md5(x), 1, 14) AS BIGINT)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _h56(col) -> F.Column:
+    """56-bit md5-derived hash, bit-identical to the DuckDB expression above."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+def _h56_sql(expr: str) -> str:
+    return f"CAST(CONCAT('0x', SUBSTR(md5({expr}), 1, 14)) AS BIGINT)"
+
+
+EN_STOP = ["the", "a", "of", "and", "to", "in", "is", "on", "that", "with"]
+DE_STOP = ["der", "die", "das", "und", "nicht", "mit", "ist", "von"]
+FR_STOP = ["le", "la", "les", "et", "des", "un", "une", "du"]
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# ---------------------------------------------------------------------------------
+# relational shell (SURVEY.md §2 analogues over the TPC-H-ish tables)
+# ---------------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style hash aggregation (partial+final, the P5 envelope-agg shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.count("*").alias("count_order"),
+            F.round(F.min("l_quantity"), 2).alias("min_qty"),
+            F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                            AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                       AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       COUNT(*)                                             AS count_order,
+       ROUND(MIN(l_quantity), 2)                            AS min_qty,
+       ROUND(MAX(l_quantity), 2)                            AS max_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_broadcast_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with broadcast dims + top-n (deterministic rank tiebreak)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("n_name"))
+    return rev.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+SQL_TOPN = """
+WITH rev AS (
+  SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY n_name)
+SELECT n_name, revenue, rank FROM (
+  SELECT n_name, revenue,
+         ROW_NUMBER() OVER (ORDER BY revenue DESC, n_name) AS rank
+  FROM rev) WHERE rank <= 10
+"""
+
+
+def q_anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpoint-resume primitive (SURVEY.md §2 C1): broadcast LEFT ANTI join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The P3 sessionization pattern (cumsum of break flags) expressed relationally
+    over the events stream: 30-min-gap sessions per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ → epoch seconds; only DIFFERENCES are used, so any session-tz
+    # offset cancels against DuckDB's epoch()
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("session_id", F.sum(new_sess).over(w))
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O7 reading-order pattern: explicit enumeration per group."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "rn", "event_id", "event_type")
+    )
+
+
+SQL_READING_ORDER = """
+SELECT user_id, rn, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------------
+# text analysis over `documents`
+# ---------------------------------------------------------------------------------
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(F.length("text") / F.size(toks), 4).alias("avg_token_len"),
+    )
+
+
+SQL_DOC_STATS = """
+SELECT doc_id,
+       LENGTH(text)                                     AS n_chars,
+       LEN(string_split(text, ' '))                     AS n_tokens,
+       LEN(list_distinct(string_split(text, ' ')))      AS n_distinct_tokens,
+       ROUND(LENGTH(text) / LEN(string_split(text, ' ')), 4) AS avg_token_len
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: stopword ratio + length gates (training-data filtering)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOP)))
+    n = F.size(toks)
+    ratio = F.round(stop_hits / n, 4)
+    return docs.select(
+        "doc_id",
+        stop_hits.alias("stopword_hits"),
+        ratio.alias("stopword_ratio"),
+        ((n >= 20) & (n <= 2000) & (ratio >= F.lit(0.0))).alias("passes_length_gate"),
+    )
+
+
+SQL_QUALITY = f"""
+SELECT doc_id,
+       LEN(list_filter(string_split(LOWER(text), ' '), t -> t IN ({_sql_list(EN_STOP)}))) AS stopword_hits,
+       ROUND(LEN(list_filter(string_split(LOWER(text), ' '), t -> t IN ({_sql_list(EN_STOP)})))
+             / LEN(string_split(LOWER(text), ' ')), 4) AS stopword_ratio,
+       (LEN(string_split(LOWER(text), ' ')) BETWEEN 20 AND 2000) AS passes_length_gate
+FROM documents
+"""
+
+
+def q_lang_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-free language ID heuristic: stopword hit counts per language."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+
+    def hits(stop):
+        return F.size(F.filter(toks, lambda t: t.isin(stop)))
+
+    en, de, fr = hits(EN_STOP), hits(DE_STOP), hits(FR_STOP)
+    guess = (
+        F.when((en >= de) & (en >= fr), "en").when(de >= fr, "de").otherwise("fr")
+    )
+    return docs.select(
+        "doc_id", en.alias("hits_en"), de.alias("hits_de"), fr.alias("hits_fr"),
+        guess.alias("guessed_lang"), "lang",
+    )
+
+
+SQL_LANG = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+    LEN(list_filter(string_split(LOWER(text),' '), t -> t IN ({_sql_list(EN_STOP)}))) AS hits_en,
+    LEN(list_filter(string_split(LOWER(text),' '), t -> t IN ({_sql_list(DE_STOP)}))) AS hits_de,
+    LEN(list_filter(string_split(LOWER(text),' '), t -> t IN ({_sql_list(FR_STOP)}))) AS hits_fr
+  FROM documents)
+SELECT doc_id, hits_en, hits_de, hits_fr,
+       CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+            WHEN hits_de >= hits_fr THEN 'de' ELSE 'fr' END AS guessed_lang,
+       lang
+FROM h
+"""
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenizer counts (whitespace + word/number/punct classes)."""
+    docs = _t(spark, sf_dir, "documents")
+    pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))).alias("n_bpe_tokens"),
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+    )
+
+
+SQL_TOKENS = """
+SELECT doc_id,
+       LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens,
+       LEN(string_split(text, ' '))                                    AS n_ws_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: each group's keeper + multiplicity."""
+    docs = _t(spark, sf_dir, "documents")
+    h = _h56(F.trim(F.lower(F.col("text"))))
+    return (
+        docs.select(h.alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT {_h56_sql("TRIM(LOWER(text))")} AS content_hash,
+       COUNT(*)      AS n_docs,
+       MIN(doc_id)   AS keeper_doc_id
+FROM documents GROUP BY 1
+"""
+
+_MINHASH_K = 8  # 8 permutations → 2 bands × 4 rows
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8) over char-5-gram shingles — the scale path for
+    near-dup detection (shingle→minhash; banding in q_minhash_lsh_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(lower) - 4, F.lit(1))),
+                lambda i: lower.substr(i, F.lit(5)),
+            )
+        ).alias("shingle"),
+    )
+    aggs = [
+        F.min(_h56(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"h{k}")
+        for k in range(_MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _sql_minhash_sigs() -> str:
+    mins = ",\n    ".join(
+        f"MIN({_h56_sql(f''' '{k}:' || shingle ''')}) AS h{k}" for k in range(_MINHASH_K)
+    )
+    return f"""
+WITH pos AS (
+  SELECT doc_id, LOWER(text) AS lt,
+         UNNEST(range(1, GREATEST(LENGTH(text) - 4, 1) + 1)) AS i
+  FROM documents),
+sh AS (SELECT doc_id, SUBSTR(lt, CAST(i AS INT), 5) AS shingle FROM pos)
+SELECT doc_id,
+    {mins}
+FROM sh GROUP BY doc_id
+"""
+
+
+SQL_MINHASH = _sql_minhash_sigs()
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (2 bands × 4 rows) → candidate pairs → minhash-estimated
+    Jaccard ≥ 0.5. The bucket-join is the 10^12-scale near-dup plan: candidates
+    only, never all-pairs."""
+    sigs = q_minhash_signatures(spark, sf_dir)
+    b0 = _h56(F.concat_ws(",", "h0", "h1", "h2", "h3"))
+    b1 = _h56(F.concat_ws(",", "h4", "h5", "h6", "h7"))
+    banded = sigs.select(
+        "doc_id", *[f"h{k}" for k in range(_MINHASH_K)],
+        F.explode(F.array(b0.alias("b"), b1.alias("b"))).alias("band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[
+                (F.col(f"a.h{k}") == F.col(f"b.h{k}")).cast("int").alias(f"eq{k}")
+                for k in range(_MINHASH_K)
+            ],
+        )
+        .distinct()
+    )
+    est = sum(F.col(f"eq{k}") for k in range(_MINHASH_K)) / _MINHASH_K
+    return (
+        pairs.select("doc_a", "doc_b", F.round(est, 4).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+def _sql_lsh_pairs() -> str:
+    eqs = " + ".join(f"CASE WHEN a.h{k} = b.h{k} THEN 1 ELSE 0 END" for k in range(_MINHASH_K))
+    return f"""
+WITH sigs AS ({_sql_minhash_sigs()}),
+banded AS (
+  SELECT doc_id, h0,h1,h2,h3,h4,h5,h6,h7, band FROM (
+    SELECT *, {_h56_sql("h0 || ',' || h1 || ',' || h2 || ',' || h3")} AS band FROM sigs
+    UNION ALL
+    SELECT *, {_h56_sql("h4 || ',' || h5 || ',' || h6 || ',' || h7")} AS band FROM sigs))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(({eqs}) / {float(_MINHASH_K)}, 4) AS est_jaccard
+FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+WHERE ROUND(({eqs}) / {float(_MINHASH_K)}, 4) >= 0.5
+"""
+
+
+SQL_LSH_PAIRS = _sql_lsh_pairs()
+
+_SIMHASH_BITS = 16
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint (16-bit) over whitespace tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    ).withColumn("th", _h56(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    sums = tok.groupBy("doc_id").agg(*aggs)
+    sim = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(_SIMHASH_BITS)
+    )
+    return sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def _sql_simhash() -> str:
+    th = _h56_sql("tok")
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {th} AS th
+  FROM (SELECT doc_id, UNNEST(string_split(LOWER(text), ' ')) AS tok FROM documents)),
+sums AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums
+"""
+
+
+SQL_SIMHASH = _sql_simhash()
+
+
+# ---------------------------------------------------------------------------------
+# similarity search over `embeddings`
+# ---------------------------------------------------------------------------------
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 5 — the exact
+    baseline; LSH/IVF variants bucket first, then run this within buckets."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    cand = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x * x))
+    nc = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda acc, x: acc + x * x))
+    sims = (
+        q.join(F.broadcast(cand), F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.round(dot / (nq * nc), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+SQL_TOPK = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+sims AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         ROUND(list_dot_product(q.v, c.v) /
+               (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(c.v, c.v))), 6)
+           AS cosine
+  FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id != c.vec_id)
+SELECT q_id, c_id, cosine, rank FROM (
+  SELECT q_id, c_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM sims) WHERE rank <= 5
+"""
+
+
+# random-hyperplane LSH over embeddings — the 10^12-scale ANN path: bucket first,
+# brute-force only within buckets. Integer-exact math (quantize to 1e-3, integer
+# hyperplane weights) so Spark and DuckDB agree bit-for-bit on bucket assignment.
+_LSH_PLANES = 8
+_LSH_DIM = 64
+
+
+def _lsh_weights(i: int) -> list[int]:
+    return [
+        ((1103515245 * (i * _LSH_DIM + j) + 12345) % 2001) - 1000 for j in range(_LSH_DIM)
+    ]
+
+
+def _lsh_bucket_col() -> F.Column:
+    qv = F.transform("embedding", lambda x: F.round(x.cast("double") * 1000).cast("long"))
+    bucket = F.lit(0).cast("long")
+    for i in range(_LSH_PLANES):
+        w = F.array(*[F.lit(v).cast("long") for v in _lsh_weights(i)])
+        dot = F.aggregate(
+            F.zip_with(qv, w, lambda a, b: a * b), F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def _lsh_bucket_sql() -> str:
+    terms = []
+    for i in range(_LSH_PLANES):
+        w = "[" + ", ".join(str(v) for v in _lsh_weights(i)) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(qv, {w}) >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: assign every embedding a bucket (integer-exact),
+    then cosine top-3 per query (vec_id < 5) WITHIN its bucket only — the plan that
+    survives 10^12 vectors (bucket-partitioned join instead of all-pairs)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        _lsh_bucket_col().alias("bucket"),
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    cand = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), "bucket")
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x * x))
+    nc = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda acc, x: acc + x * x))
+    sims = (
+        q.join(cand, (F.col("qb") == F.col("bucket")) & (F.col("q_id") != F.col("c_id")))
+        .select("q_id", "c_id", F.col("bucket"), F.round(dot / (nq * nc), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+
+
+SQL_ANN_LSH = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+b AS (SELECT vec_id, v, {_lsh_bucket_sql()} AS bucket FROM e),
+sims AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.bucket,
+         ROUND(list_dot_product(q.v, c.v) /
+               (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(c.v, c.v))), 6)
+           AS cosine
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 5 AND q.vec_id != c.vec_id)
+SELECT q_id, c_id, bucket, cosine, rank FROM (
+  SELECT q_id, c_id, bucket, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM sims) WHERE rank <= 3
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucket-bounded: only pairs sharing
+    an LSH bucket are compared; emit pairs with cosine ≥ 0.9."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        _lsh_bucket_col().alias("bucket"),
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("bucket").alias("bucket_b"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    pairs = (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", F.round(dot / (na * nb), 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.9)
+    )
+    return pairs
+
+
+SQL_DEDUP_EMB = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+b AS (SELECT vec_id, v, {_lsh_bucket_sql()} AS bucket FROM e)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, c.v) /
+             (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(c.v, c.v))), 6)
+         AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE ROUND(list_dot_product(a.v, c.v) /
+            (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(c.v, c.v))), 6) >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------------
+# multimodal plumbing (binary columns; decode itself stubbed — see
+# functions/multimodal.py)
+# ---------------------------------------------------------------------------------
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.lower(F.hex(F.substring(blob, 1, 4))).alias("magic_hex"),
+        _h56(F.col("text")).alias("payload_hash"),
+    )
+
+
+SQL_MEDIA_META = f"""
+SELECT doc_id,
+       OCTET_LENGTH(encode(text))                    AS n_bytes,
+       LOWER(hex(encode(SUBSTR(text, 1, 4))))        AS magic_hex,
+       {_h56_sql("text")}                            AS payload_hash
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------------
+# flagship: the REAL extraction pipeline, oracled in SQL
+# ---------------------------------------------------------------------------------
+
+_SENT_WORDS = 10  # words per synthetic sentence
+_MIN_CHARS = 60  # stay above the searchable threshold deterministically
+
+
+def documents_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a pdf_chars corpus from `documents` deterministically: group each
+    text's words into 10-word sentences terminated by '.', lay out as char events
+    (kernels encode), one page per doc. Runs distributed inside mapInArrow."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from .schema import CORPUS_ARROW
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= _MIN_CHARS).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+
+    def encode(batches):
+        from .kernels.util import chars_to_hex
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            pdf = batch.to_pandas()
+            words = pdf["text"].str.split(" ")
+            sent = words.map(
+                lambda ws: " ".join(
+                    " ".join(ws[i : i + _SENT_WORDS]) + "."
+                    for i in range(0, len(ws), _SENT_WORDS)
+                )
+            )
+            payloads = []
+            for s in sent:  # per doc (generation-side; measured hot path is extract)
+                chars = np.array(list(s), dtype="<U1")
+                hexes = chars_to_hex(chars)
+                n = len(chars)
+                x0 = 10.0 + 6.0 * np.arange(n)
+                recs = [f"PAGE\t612\t792"] + [
+                    f"{h}\t{x:g}\t760\t{x+6:g}\t772" for h, x in zip(hexes, x0)
+                ]
+                payloads.append("\n".join(recs))
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "spans": [
+                        [{"kind": "pdf_chars", "text": p, "media_ref": None, "offset": 0}]
+                        for p in payloads
+                    ],
+                }
+            )
+            yield pa.RecordBatch.from_pandas(out, schema=CORPUS_ARROW, preserve_index=False)
+
+    return docs.mapInArrow(encode, "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+
+
+def q_extract_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END extraction through the real kernels (mapInArrow), oracled by a SQL
+    re-derivation of the expected sentence spans."""
+    from .pipeline import extract_corpus
+
+    corpus = documents_to_corpus(spark, sf_dir)
+    out = extract_corpus(corpus)
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("s.offset").alias("span_offset"),
+        F.col("s.text").alias("span_text"),
+    )
+
+
+SQL_EXTRACT = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         UNNEST(range(1, CAST(CEIL(LEN(string_split(text, ' ')) / {float(_SENT_WORDS)}) AS BIGINT) + 1)) AS i
+  FROM documents WHERE LENGTH(text) >= {_MIN_CHARS})
+SELECT doc_id, CAST(i AS INT) - 1 AS span_offset,
+       array_to_string(ws[(i-1)*{_SENT_WORDS}+1 : i*{_SENT_WORDS}], ' ') || '.' AS span_text
+FROM w
+"""
+
+
+# ---------------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q_pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "q_broadcast_join_topn": (q_broadcast_join_topn, SQL_TOPN),
+    "q_anti_join_resume": (q_anti_join_resume, SQL_ANTI),
+    "q_sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
+    "q_reading_order": (q_reading_order, SQL_READING_ORDER),
+    "q_doc_stats": (q_doc_stats, SQL_DOC_STATS),
+    "q_quality_score": (q_quality_score, SQL_QUALITY),
+    "q_lang_stopwords": (q_lang_stopwords, SQL_LANG),
+    "q_token_count_bpe": (q_token_count_bpe, SQL_TOKENS),
+    "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "q_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
+    "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_LSH_PAIRS),
+    "q_simhash": (q_simhash, SQL_SIMHASH),
+    "q_embedding_topk": (q_embedding_topk, SQL_TOPK),
+    "q_ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
+    "q_dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB),
+    "q_media_meta": (q_media_meta, SQL_MEDIA_META),
+    "q_extract_sentences": (q_extract_sentences, SQL_EXTRACT),
+}

@@ -83,6 +83,7 @@ CHUNK_OUT_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType(), nullable=False),
         T.StructField("text", T.StringType(), nullable=True),
         T.StructField("media_ref", T.StringType(), nullable=True),
+        T.StructField("bytes_in", T.LongType(), nullable=False),
     ]
 )
 
@@ -95,8 +96,16 @@ CHUNK_OUT_ARROW = pa.schema(
         pa.field("kind", pa.string(), nullable=False),
         pa.field("text", pa.string(), nullable=True),
         pa.field("media_ref", pa.string(), nullable=True),
+        pa.field("bytes_in", pa.int64(), nullable=False),
     ]
 )
+
+# per-(doc, chunk) marker row emitted by the chunk UDF: carries the chunk's input
+# byte count and guarantees every doc appears in the reassembly groupBy even when
+# it produced zero spans. in_off = 2^62 sorts after all real spans; filtered out
+# of the final array.
+KIND_CHUNK_MARKER = "__chunk__"
+CHUNK_MARKER_OFF = 1 << 62
 
 # ---------------------------------------------------------------------------
 # Checkpoint table — replaces the reference's Redis JobStatus record

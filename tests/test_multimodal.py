@@ -1,0 +1,72 @@
+"""Multimodal binary-column plumbing: schema, mapInPandas batching, determinism.
+The decode step itself is stubbed (no codec libs here) — strict mode marks the seam."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extract_sys_spark.functions.multimodal import (
+    FEATURE_DIM,
+    MEDIA_SCHEMA,
+    extract_media_features,
+    media_from_corpus,
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        ("img-1", "image", b"\x89PNG fake bytes"),
+        ("vid-2", "video", b"\x00\x00ftyp fake"),
+        ("aud-3", "audio", b"RIFF fake"),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_feature_schema_and_determinism(spark, media_df):
+    out = extract_media_features(media_df).collect()
+    assert len(out) == 3
+    by_ref = {r["media_ref"]: r for r in out}
+    img = by_ref["img-1"]
+    assert img["n_bytes"] == len(b"\x89PNG fake bytes")
+    assert img["content_sha1"] == hashlib.sha1(b"\x89PNG fake bytes").hexdigest()
+    assert len(img["feature"]) == FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in img["feature"])
+    # deterministic across runs
+    again = {r["media_ref"]: r["feature"] for r in extract_media_features(media_df).collect()}
+    assert again == {k: v["feature"] for k, v in by_ref.items()}
+
+
+def test_strict_mode_marks_decode_seam(spark, media_df):
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_media_features(media_df, strict=True).collect()
+
+
+def test_no_per_row_python(spark, media_df):
+    from pdf_extract_sys_spark.pipeline import assert_no_per_row_python
+
+    assert_no_per_row_python(extract_media_features(media_df))
+
+
+def test_media_from_corpus(spark):
+    from pdf_extract_sys_spark.pipeline import extract_corpus
+    from pdf_extract_sys_spark.schema import CORPUS_SCHEMA
+
+    docs = [
+        {
+            "doc_id": "m1",
+            "spans": [
+                {"kind": "media", "text": None, "media_ref": "img-9", "offset": 0},
+                {"kind": "media", "text": None, "media_ref": "vid-7", "offset": 1},
+            ],
+        }
+    ]
+    sdf = spark.createDataFrame(docs, CORPUS_SCHEMA)
+    out = extract_corpus(sdf)
+    media = media_from_corpus(out)
+    feats = extract_media_features(media).collect()
+    kinds = {r["media_ref"]: r["media_kind"] for r in feats}
+    assert kinds == {"img-9": "image", "vid-7": "video"}

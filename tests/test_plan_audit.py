@@ -1,0 +1,72 @@
+"""Physical-plan audits: the plans we WANT, not just plans that pass.
+
+  * extraction normal path: zero Exchange (shuffle-free), PythonMapInArrow only,
+    never BatchEvalPython (north rule: no per-row Python)
+  * relational queries: filters pushed to the parquet scan, column-pruned
+    ReadSchema, broadcast joins where a side is small
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extract_sys_spark import corpus as C
+from pdf_extract_sys_spark.pipeline import extract_corpus
+from pdf_extract_sys_spark.queries import (
+    q_anti_join_resume,
+    q_broadcast_join_topn,
+    q_pricing_summary,
+)
+from pdf_extract_sys_spark.schema import CORPUS_SCHEMA
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory) -> str:
+    p = str(tmp_path_factory.mktemp("plan") / "corpus")
+    pdf = C.generate_corpus(30, seed=3)
+    spark.createDataFrame(pdf.to_dict("records"), schema=CORPUS_SCHEMA).write.parquet(p)
+    return p
+
+
+def test_normal_path_is_shuffle_free(spark, corpus_path):
+    src = spark.read.parquet(corpus_path)
+    out = extract_corpus(src, salt_threshold=10**9)  # normal path only
+    plan = plan_of(out)
+    # the union's mega branch is statically present but empty; the NORMAL branch
+    # (scan → filter → MapInArrow, listed first under the Union) must not shuffle
+    normal_part = plan.split("MapInArrow")[0]
+    assert "Exchange" not in normal_part, normal_part
+    assert "BatchEvalPython" not in plan
+
+
+def test_no_per_row_python_full_pipeline(spark, corpus_path):
+    src = spark.read.parquet(corpus_path)
+    plan = plan_of(extract_corpus(src, salt_threshold=4))
+    assert "BatchEvalPython" not in plan
+    assert "MapInArrow" in plan
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = q_pricing_summary(spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    rs = plan.split("ReadSchema")[1][:400]
+    assert "l_comment" not in rs  # untouched columns pruned away
+    assert "l_quantity" in rs
+
+
+def test_broadcast_join_used(spark):
+    plan = plan_of(q_broadcast_join_topn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anti_join_is_broadcast(spark):
+    plan = plan_of(q_anti_join_resume(spark, SF))
+    assert "LeftAnti" in plan
