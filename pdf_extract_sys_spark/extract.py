@@ -87,8 +87,12 @@ def extract_docs(
     sr = span_rows.reset_index(drop=True)
     if "pos" not in sr.columns:
         sr["pos"] = sr.groupby("doc_id", sort=False).cumcount()
-    # lineage metric: bytes of input payload text per doc (utf-8)
-    tb = sr["text"].str.encode("utf-8").str.len().fillna(0).astype(np.int64)
+    # lineage metric: bytes of input payload text per doc (utf-8). The Arrow layer
+    # provides byte lengths zero-copy (`text_bytes`); the pandas path re-encodes.
+    if "text_bytes" in sr.columns:
+        tb = sr["text_bytes"].astype(np.int64)
+    else:
+        tb = sr["text"].str.encode("utf-8").str.len().fillna(0).astype(np.int64)
     bytes_in = (
         pd.DataFrame({"doc_id": sr["doc_id"], "b": tb})
         .groupby("doc_id", sort=False)["b"]
@@ -337,14 +341,19 @@ def _record_batch_to_rows(batch: pa.RecordBatch) -> tuple[np.ndarray, pd.DataFra
     starts = np.zeros(len(doc_ids), dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:]) if len(doc_ids) > 1 else None
     pos = np.arange(len(parent), dtype=np.int64) - starts[parent] if len(parent) else np.empty(0, np.int64)
+    text_arr = flat.field("text")
     span_rows = pd.DataFrame(
         {
             "doc_id": doc_ids[parent],
             "kind": flat.field("kind").to_pandas().to_numpy(dtype=object),
-            "text": flat.field("text").to_pandas().to_numpy(dtype=object),
+            "text": text_arr.to_pandas().to_numpy(dtype=object),
             "media_ref": flat.field("media_ref").to_pandas().to_numpy(dtype=object),
             "offset": flat.field("offset").to_pandas().to_numpy(np.int64),
             "pos": pos,
+            # utf-8 byte length straight off the Arrow buffer (no re-encode)
+            "text_bytes": pc.fill_null(pc.binary_length(text_arr), 0).to_numpy(
+                zero_copy_only=False
+            ),
         }
     )
     return doc_ids, span_rows
@@ -428,10 +437,15 @@ def extract_chunk_map_in_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa
     from .schema import CHUNK_MARKER_OFF, CHUNK_OUT_ARROW, KIND_CHUNK_MARKER
 
     _pin_worker_threads()
+    import pyarrow.compute as pc
+
     for batch in batches:
         if batch.num_rows == 0:
             continue
         df = batch.to_pandas()
+        df["text_bytes"] = pc.fill_null(
+            pc.binary_length(batch.column("text")), 0
+        ).to_numpy(zero_copy_only=False)
         doc_ids = df["doc_id"].unique()
         out, metrics = extract_docs_safe(df, doc_ids, enumerate_offsets=False)
         out = out.astype({"in_off": np.int64, "pos": np.int64, "seq": np.int64})

@@ -54,8 +54,8 @@ import pyarrow.compute as pc
 from .util import grouped_cumsum
 
 _HEADER_RE = r"^PAGE\t(\d+(?:\.\d+)?)\t(\d+(?:\.\d+)?)$"
-_HEX_FULL_RE = r"^[0-9a-fA-F]{1,8}$"
-_NUM_FULL_RE = r"^-?\d+(?:\.\d+)?$"
+_NUM = r"-?\d+(?:\.\d+)?"
+_EVENT_FULL_RE = rf"^[0-9a-fA-F]{{1,8}}\t(?:-|{_NUM}\t{_NUM}\t{_NUM}\t{_NUM})$"
 
 EMPTY_SPANS = pd.DataFrame(
     {
@@ -180,34 +180,18 @@ def decode_pdf_core(pages: pd.DataFrame) -> tuple[PdfEvents, pd.Index]:
         bad_doc_ids = pd.Index(sorted(set(page_tab.loc[bad_page, "doc_id"])))
         return _empty_events(page_tab), bad_doc_ids
 
+    # ONE structural regex validates the whole record (hex + '-' | 4 numerics);
+    # field extraction then casts without further checks
+    row_ok = pc.match_substring_regex(body, _EVENT_FULL_RE).to_numpy(zero_copy_only=False)
+
     fields = pc.split_pattern(body, "\t")
     foff = fields.offsets.to_numpy(zero_copy_only=False)
     fcnt = np.diff(foff)
     fvals = fields.values
-
     f0, _ = _list_field(fvals, foff, fcnt, 0)
-    hex_ok = pc.match_substring_regex(f0, _HEX_FULL_RE).to_numpy(zero_copy_only=False)
-
     f1, p1 = _list_field(fvals, foff, fcnt, 1)
     is_dash = pc.equal(f1, "-").to_numpy(zero_copy_only=False) & p1
-    num_ok1 = pc.match_substring_regex(f1, _NUM_FULL_RE).to_numpy(zero_copy_only=False) & p1
-
-    no_bbox_ok = is_dash & (fcnt == 2)
     shape5 = fcnt == 5
-    if shape5.any():
-        f2, _ = _list_field(fvals, foff, fcnt, 2)
-        f3, _ = _list_field(fvals, foff, fcnt, 3)
-        f4, _ = _list_field(fvals, foff, fcnt, 4)
-        nums_ok = (
-            num_ok1
-            & pc.match_substring_regex(f2, _NUM_FULL_RE).to_numpy(zero_copy_only=False)
-            & pc.match_substring_regex(f3, _NUM_FULL_RE).to_numpy(zero_copy_only=False)
-            & pc.match_substring_regex(f4, _NUM_FULL_RE).to_numpy(zero_copy_only=False)
-        )
-    else:
-        nums_ok = np.zeros(len(fcnt), dtype=bool)
-    with_bbox_ok = shape5 & nums_ok
-    row_ok = hex_ok & (no_bbox_ok | with_bbox_ok)
 
     bad_pages_mask = bad_page.copy()
     if (~row_ok).any():
