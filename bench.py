@@ -51,14 +51,20 @@ def corpus_docs(sf: float) -> int:
 # the scaling comparison always uses a fixed-size slice big enough that compute
 # dominates fixed stage latency at both parallelism levels ("identical job +
 # identical input at two levels" — BASELINE.md)
-SCALING_DOCS = 64_000
+SCALING_DOCS = 128_000
 
 
-def make_session(threads: int, shuffle: int):
+def make_session(threads: int, shuffle: int, pin_jvm_cores: bool = False):
     from pdf_extract_sys_spark.pipeline import default_session
 
+    extra = {}
+    if pin_jvm_cores:
+        # a local[N] JVM otherwise sizes GC/internal pools for ALL host cores,
+        # which skews N-vs-4N comparisons
+        extra["spark.driver.extraJavaOptions"] = f"-XX:ActiveProcessorCount={threads}"
     spark = default_session(
-        app=f"bench-{threads}", master=f"local[{threads}]", shuffle_partitions=shuffle
+        app=f"bench-{threads}", master=f"local[{threads}]", shuffle_partitions=shuffle,
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
@@ -94,7 +100,7 @@ def scale_run(threads: int) -> None:
     interleaved fresh samples)."""
     from pdf_extract_sys_spark.pipeline import extract_corpus
 
-    spark = make_session(threads, shuffle=max(8, 2 * threads))
+    spark = make_session(threads, shuffle=max(8, 2 * threads), pin_jvm_cores=True)
     path = ensure_corpus(SCALING_DOCS)
     # warm EVERY python worker (per-worker numpy/pyarrow imports dominate cold
     # cost) on a tiny synthetic slice spread across all task slots
@@ -157,8 +163,10 @@ def main() -> None:
         return json.loads(line)["sec"]
 
     scaling: dict[int, float] = {}
-    # gate pair: interleaved passes (drift cancellation), min per level
-    for _ in range(2):
+    # gate pair: interleaved passes (drift cancellation), min per level — this
+    # sandbox shows multi-second noise bursts on identical work, so the floor of
+    # several interleaved samples is the only meaningful estimator
+    for _ in range(3):
         for threads in (1, 4):
             s = sample(threads)
             scaling[threads] = min(scaling.get(threads, s), s)

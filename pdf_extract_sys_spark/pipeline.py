@@ -156,10 +156,13 @@ def assert_no_per_row_python(df: DataFrame) -> None:
 
 
 def default_session(app: str = "pdf-extract-sys-spark", master: str | None = None,
-                    shuffle_partitions: int | None = None) -> SparkSession:
+                    shuffle_partitions: int | None = None,
+                    extra_conf: dict | None = None) -> SparkSession:
     b = SparkSession.builder.appName(app)
     if master:
         b = b.master(master)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
     b = (
         b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
