@@ -58,11 +58,17 @@ def with_partition_id(corpus: DataFrame, num_partitions: int) -> DataFrame:
 
 def completed_partitions(spark: SparkSession, checkpoint_path: str, run_id: str) -> DataFrame:
     """Distinct partition_ids already completed for run_id (empty frame if the
-    checkpoint table does not exist yet)."""
+    checkpoint table does not exist yet). Only PATH_NOT_FOUND means "fresh run";
+    any other read error (corrupt footer, permission) propagates — silently
+    restarting the whole run on a corrupted checkpoint table would mask it."""
+    from pyspark.errors import AnalysisException
+
     try:
         cp = spark.read.parquet(checkpoint_path)
-    except Exception:
-        return spark.createDataFrame([], "partition_id INT")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], "partition_id INT")
+        raise
     return (
         cp.filter((F.col("run_id") == run_id) & (F.col("status") == "completed"))
         .select("partition_id")

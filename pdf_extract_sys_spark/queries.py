@@ -147,11 +147,13 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the events stream: 30-min-gap sessions per user."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # TIMESTAMP_NTZ → epoch seconds; only DIFFERENCES are used, so any session-tz
-    # offset cancels against DuckDB's epoch()
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # TIMESTAMP_NTZ → MICROSECOND epochs on both sides (only differences are used,
+    # so any session-tz offset cancels against DuckDB's epoch_us); second-truncated
+    # epochs could straddle the 1800 s threshold differently than DuckDB's
+    # fractional epoch() when an event lands exactly on the boundary.
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = epoch - F.lag(epoch).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     sess = ev.withColumn("session_id", F.sum(new_sess).over(w))
     return sess.groupBy("user_id").agg(
         F.max("session_id").alias("n_sessions"),
@@ -162,8 +164,8 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SESSIONIZE = """
 WITH flagged AS (
   SELECT user_id, event_id, ts,
-         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
-              OR LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_sess
   FROM events),
 sess AS (
@@ -171,7 +173,9 @@ sess AS (
          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged)
-SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+-- CAST: DuckDB's windowed SUM yields HUGEINT → float64 through pandas, which
+-- breaks the driver's value hash against Spark's int64 even when values match
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM sess GROUP BY user_id
 """
 
@@ -641,7 +645,10 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MEDIA_META = f"""
 SELECT doc_id,
        OCTET_LENGTH(encode(text))                    AS n_bytes,
-       LOWER(hex(encode(SUBSTR(text, 1, 4))))        AS magic_hex,
+       -- slice the first 4 BYTES of the utf-8 encoding (matching Spark's
+       -- substring-on-binary), not the first 4 characters-then-encode: they
+       -- differ whenever the first 4 chars include non-ASCII
+       LOWER(SUBSTR(hex(encode(text)), 1, 8))        AS magic_hex,
        {_h56_sql("text")}                            AS payload_hash
 FROM documents
 """

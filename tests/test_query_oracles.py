@@ -1,5 +1,13 @@
 """Every REGISTRY query must match its DuckDB oracle at sf0.01 — emulating the
-driver's comparison: row count + sorted-column value multiset equality."""
+driver's comparison: row count + column names + PANDAS DTYPE KIND per column +
+sorted-column value multiset equality.
+
+The dtype check matters: the driver materializes both sides through pandas and
+value-hashes, so DuckDB returning HUGEINT (→ float64 in pandas) where Spark
+returns int64 is a driver-level mismatch even when every value is equal
+(the round-1 q_sessionize_events red). Fetching through .df()/.toPandas() here
+reproduces that failure mode locally.
+"""
 
 from __future__ import annotations
 
@@ -27,21 +35,21 @@ def ddb():
 
 
 def _norm(v):
-    if v is None:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
         return None
     if isinstance(v, bool):
-        return bool(v)
+        return ("b", v)
     if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return round(v, 6)
-    return v
+        return ("f", round(v, 6))
+    if isinstance(v, int):
+        return ("i", v)
+    return ("s", str(v))
 
 
-def _multiset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def _multiset(df):
+    cols = sorted(df.columns)
     return sorted(
-        (tuple(_norm(r[i]) for i in order) for r in rows),
+        (tuple(_norm(v) for v in row) for row in df[cols].itertuples(index=False)),
         key=lambda t: tuple((x is None, str(x)) for x in t),
     )
 
@@ -49,17 +57,24 @@ def _multiset(cols, rows):
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(name, spark, ddb):
     fn, sql = REGISTRY[name]
-    sdf = fn(spark, SF_DIR)
-    srows = sdf.collect()
-    scols = sdf.columns
     assert sql is not None, f"{name} has no oracle"
-    ores = ddb.sql(sql)
-    orows = ores.fetchall()
-    ocols = [d[0] for d in ores.description]
-    assert sorted(scols) == sorted(ocols), f"{name}: column names differ: {scols} vs {ocols}"
-    assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
-    a = _multiset(scols, [[r[c] for c in scols] for r in srows])
-    b = _multiset(ocols, orows)
+    spdf = fn(spark, SF_DIR).toPandas()
+    opdf = ddb.sql(sql).df()
+    assert sorted(spdf.columns) == sorted(opdf.columns), (
+        f"{name}: column names differ: {list(spdf.columns)} vs {list(opdf.columns)}"
+    )
+    assert len(spdf) == len(opdf), f"{name}: row count {len(spdf)} vs {len(opdf)}"
+    # dtype-kind parity per column — this is what the driver's value hash sees
+    for c in sorted(spdf.columns):
+        sk, ok = spdf[c].dtype.kind, opdf[c].dtype.kind
+        # unify signed/unsigned int; empty frames may degrade to object on one side
+        if len(spdf) and {sk, ok} <= {"i", "u"}:
+            continue
+        assert not len(spdf) or sk == ok, (
+            f"{name}.{c}: pandas dtype kind differs: spark={spdf[c].dtype} "
+            f"oracle={opdf[c].dtype} — the driver's value hash will mismatch"
+        )
+    a, b = _multiset(spdf), _multiset(opdf)
     if a != b:
         diff = [(x, y) for x, y in zip(a, b) if x != y][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
