@@ -327,52 +327,91 @@ FROM documents GROUP BY 1
 """
 
 _MINHASH_K = 8  # 8 permutations → 2 bands × 4 rows
+_MH_P = (1 << 61) - 1  # Mersenne prime; a*h+b < 2^62 never overflows int64
+
+
+def _mh_coeffs(k: int) -> tuple[int, int]:
+    """Deterministic affine-permutation coefficients: a odd < 2^30, b < 2^31,
+    so a*h32 + b < 2^62 stays exact in signed 64-bit on BOTH engines."""
+    a = ((1103515245 * (2 * k + 1) + 12345) % (1 << 30)) | 1
+    b = (1103515245 * (2 * k + 2) + 12345) % (1 << 31)
+    return a, b
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=8) over char-5-gram shingles — the scale path for
-    near-dup detection (shingle→minhash; banding in q_minhash_lsh_pairs)."""
+    near-dup detection (shingle→minhash; banding in q_minhash_lsh_pairs).
+
+    100 TB form: SHUFFLE-FREE and hash-once. Shingles stay an ARRAY inside one
+    projection (transform + array_min instead of explode + groupBy-min ⇒ a pure
+    map, no exchange anywhere), each shingle is md5-hashed ONCE to a 32-bit int,
+    and the k minima derive from k affine permutations (a_k*h+b_k mod 2^61-1) —
+    integer-exact on both engines, 8× less md5 than hashing per (shingle, k).
+    The hashed array is materialized in its own projection; CollapseProject keeps
+    it (an expensive alias used k times is not inlined), so md5 runs once.
+    """
     docs = _t(spark, sf_dir, "documents")
     lower = F.lower(F.col("text"))
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length(lower) - 4, F.lit(1))),
-                lambda i: lower.substr(i, F.lit(5)),
-            )
-        ).alias("shingle"),
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(lower) - 4, F.lit(1))),
+        lambda i: lower.substr(i, F.lit(5)),
     )
-    aggs = [
-        F.min(_h56(F.concat(F.lit(f"{k}:"), F.col("shingle")))).alias(f"h{k}")
-        for k in range(_MINHASH_K)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        ).alias("hs"),
+    )
+    def _perm(a: int, b: int):
+        # closure factory: pyspark HOFs dispatch on lambda arity, so the
+        # single-arg form must not carry captured defaults in its signature
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MH_P)
+
+    mins = []
+    for k in range(_MINHASH_K):
+        a, b = _mh_coeffs(k)
+        mins.append(F.array_min(F.transform("hs", _perm(a, b))).alias(f"h{k}"))
+    return hashed.select("doc_id", *mins)
 
 
 def _sql_minhash_sigs() -> str:
     mins = ",\n    ".join(
-        f"MIN({_h56_sql(f''' '{k}:' || shingle ''')}) AS h{k}" for k in range(_MINHASH_K)
+        "list_min(list_transform(hs, h -> ({a} * h + {b}) % {p})) AS h{k}".format(
+            a=_mh_coeffs(k)[0], b=_mh_coeffs(k)[1], p=_MH_P, k=k
+        )
+        for k in range(_MINHASH_K)
     )
     return f"""
-WITH pos AS (
-  SELECT doc_id, LOWER(text) AS lt,
-         UNNEST(range(1, GREATEST(LENGTH(text) - 4, 1) + 1)) AS i
-  FROM documents),
-sh AS (SELECT doc_id, SUBSTR(lt, CAST(i AS INT), 5) AS shingle FROM pos)
 SELECT doc_id,
     {mins}
-FROM sh GROUP BY doc_id
+FROM (
+  SELECT doc_id,
+         list_transform(
+           range(1, GREATEST(LENGTH(text) - 4, 1) + 1),
+           i -> CAST('0x' || SUBSTR(md5(SUBSTR(LOWER(text), CAST(i AS INT), 5)), 1, 8) AS BIGINT)
+         ) AS hs
+  FROM documents)
 """
 
 
 SQL_MINHASH = _sql_minhash_sigs()
 
+# Hot-band guard: a degenerate band (e.g. thousands of identical docs) would make
+# the within-band self-join quadratic. Bands larger than the cap fall back to
+# keeper-representative pairing: only the band's min doc_id pairs with the rest
+# (linear), which still marks every member as a near-dup candidate of the keeper.
+_LSH_BAND_CAP = 128
 
-def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def q_minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, band_cap: int = _LSH_BAND_CAP
+) -> DataFrame:
     """LSH banding (2 bands × 4 rows) → candidate pairs → minhash-estimated
     Jaccard ≥ 0.5. The bucket-join is the 10^12-scale near-dup plan: candidates
-    only, never all-pairs."""
+    only, never all-pairs. Signatures are PERSISTED before the self-join (the
+    100 TB pipeline materializes the signature table) so the shingle→minhash
+    pipeline runs once, not once per join side; bands over `band_cap` members
+    degrade to linear keeper-pairing instead of quadratic all-pairs."""
     sigs = q_minhash_signatures(spark, sf_dir)
     b0 = _h56(F.concat_ws(",", "h0", "h1", "h2", "h3"))
     b1 = _h56(F.concat_ws(",", "h4", "h5", "h6", "h7"))
@@ -380,9 +419,23 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", *[f"h{k}" for k in range(_MINHASH_K)],
         F.explode(F.array(b0.alias("b"), b1.alias("b"))).alias("band"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    wb = Window.partitionBy("band")
+    counted = (
+        banded.withColumn("band_n", F.count("*").over(wb))
+        .withColumn("band_keeper", F.min("doc_id").over(wb))
+        .persist()
+    )
+    a, b = counted.alias("a"), counted.alias("b")
+    guard = (F.col("a.band_n") <= F.lit(band_cap)) | (
+        F.col("a.doc_id") == F.col("a.band_keeper")
+    )
     pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & guard,
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -400,7 +453,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_lsh_pairs() -> str:
+def _sql_lsh_pairs(band_cap: int = _LSH_BAND_CAP) -> str:
     eqs = " + ".join(f"CASE WHEN a.h{k} = b.h{k} THEN 1 ELSE 0 END" for k in range(_MINHASH_K))
     return f"""
 WITH sigs AS ({_sql_minhash_sigs()}),
@@ -408,10 +461,16 @@ banded AS (
   SELECT doc_id, h0,h1,h2,h3,h4,h5,h6,h7, band FROM (
     SELECT *, {_h56_sql("h0 || ',' || h1 || ',' || h2 || ',' || h3")} AS band FROM sigs
     UNION ALL
-    SELECT *, {_h56_sql("h4 || ',' || h5 || ',' || h6 || ',' || h7")} AS band FROM sigs))
+    SELECT *, {_h56_sql("h4 || ',' || h5 || ',' || h6 || ',' || h7")} AS band FROM sigs)),
+counted AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY band) AS band_n,
+            MIN(doc_id) OVER (PARTITION BY band) AS band_keeper
+  FROM banded)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        ROUND(({eqs}) / {float(_MINHASH_K)}, 4) AS est_jaccard
-FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+FROM counted a JOIN counted b
+  ON a.band = b.band AND a.doc_id < b.doc_id
+ AND (a.band_n <= {band_cap} OR a.doc_id = a.band_keeper)
 WHERE ROUND(({eqs}) / {float(_MINHASH_K)}, 4) >= 0.5
 """
 

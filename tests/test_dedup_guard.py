@@ -1,0 +1,57 @@
+"""Hot-band guard: a degenerate corpus (many identical docs → one giant LSH band)
+must NOT go quadratic. Bands over the cap degrade to keeper-representative
+pairing: the band's min doc_id pairs with every other member (linear), so every
+member is still flagged as a near-dup of the keeper.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_extract_sys_spark.queries import _sql_lsh_pairs, q_minhash_lsh_pairs
+
+N_DOCS = 1000
+CAP = 64
+
+
+@pytest.fixture(scope="module")
+def degenerate_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("degenerate_sf")
+    text = "the quick brown fox jumps over the lazy dog again and again " * 4
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(N_DOCS), type=pa.int64()),
+            "text": pa.array([text] * N_DOCS),
+            "lang": pa.array(["en"] * N_DOCS),
+            "source": pa.array(["dup"] * N_DOCS),
+            "n_chars": pa.array([len(text)] * N_DOCS, type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, d / "documents.parquet")
+    return str(d)
+
+
+def test_hot_band_guard_linear_not_quadratic(spark, degenerate_dir):
+    pairs = q_minhash_lsh_pairs(spark, degenerate_dir, band_cap=CAP).collect()
+    # identical docs → identical signatures → one band of 1000 members per band
+    # index; guarded output is keeper-vs-rest, NOT the ~500k all-pairs explosion
+    assert len(pairs) == N_DOCS - 1
+    assert all(r["doc_a"] == 0 for r in pairs)
+    assert sorted(r["doc_b"] for r in pairs) == list(range(1, N_DOCS))
+    assert all(r["est_jaccard"] == 1.0 for r in pairs)
+
+
+def test_hot_band_guard_matches_oracle(spark, degenerate_dir):
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{degenerate_dir}/documents.parquet')"
+    )
+    orows = con.sql(_sql_lsh_pairs(band_cap=CAP)).fetchall()
+    srows = q_minhash_lsh_pairs(spark, degenerate_dir, band_cap=CAP).collect()
+    assert len(orows) == len(srows) == N_DOCS - 1
+    assert sorted((r[0], r[1]) for r in orows) == sorted(
+        (r["doc_a"], r["doc_b"]) for r in srows
+    )
