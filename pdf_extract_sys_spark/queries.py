@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -566,10 +567,19 @@ SELECT q_id, c_id, cosine, rank FROM (
 
 
 # random-hyperplane LSH over embeddings — the 10^12-scale ANN path: bucket first,
-# brute-force only within buckets. Integer-exact math (quantize to 1e-3, integer
-# hyperplane weights) so Spark and DuckDB agree bit-for-bit on bucket assignment.
-_LSH_PLANES = 8
+# brute-force only within buckets. 32 planes banded 4×8 bits: a vector lands in 4
+# buckets of an 8-bit space each (recall from banding, selectivity from 8 bits;
+# the round-1 single-band 256-bucket space went quadratic inside buckets at
+# ~10^12 vectors). Signature math is INTEGER-EXACT (quantize to 1e-3 half-away-
+# from-zero, integer hyperplane weights) so the numpy matmul on the Spark side
+# and list_dot_product on the DuckDB side agree bit-for-bit.
+_LSH_PLANES = 32
+_LSH_BANDS = 4
+_LSH_BAND_BITS = _LSH_PLANES // _LSH_BANDS
 _LSH_DIM = 64
+# skip degenerate buckets outright for ANN (stop-hash dropping); dedup instead
+# degrades hot buckets to keeper-representative pairs (linear)
+_ANN_BUCKET_CAP = 4096
 
 
 def _lsh_weights(i: int) -> list[int]:
@@ -578,110 +588,174 @@ def _lsh_weights(i: int) -> list[int]:
     ]
 
 
-def _lsh_bucket_col() -> F.Column:
-    qv = F.transform("embedding", lambda x: F.round(x.cast("double") * 1000).cast("long"))
-    bucket = F.lit(0).cast("long")
-    for i in range(_LSH_PLANES):
-        w = F.array(*[F.lit(v).cast("long") for v in _lsh_weights(i)])
-        dot = F.aggregate(
-            F.zip_with(qv, w, lambda a, b: a * b), F.lit(0).cast("long"), lambda acc, x: acc + x
-        )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+def _lsh_sig_udf():
+    """Vectorized 32-plane signature: ONE numpy int64 matmul per Arrow batch
+    ((n,64) @ (64,32)), replacing 32 chained Catalyst array-aggregate lambdas.
+    Integer math end-to-end ⇒ bit-identical to the SQL oracle's per-plane
+    list_dot_product sign tests. ArrowEvalPython node — not per-row Python."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    w = np.array([_lsh_weights(i) for i in range(_LSH_PLANES)], dtype=np.int64).T
+    pow2 = np.int64(1) << np.arange(_LSH_PLANES, dtype=np.int64)
+
+    @pandas_udf(LongType())
+    def sig(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64) * 1000.0
+        # half-away-from-zero, matching DuckDB ROUND / Spark round (HALF_UP)
+        q = np.copysign(np.floor(np.abs(m) + 0.5), m).astype(np.int64)
+        bits = (q @ w) >= 0  # exact: |dot| ≤ 64·10^4·10^3 ≪ 2^63
+        return pd.Series((bits * pow2).sum(axis=1))
+
+    return sig
 
 
-def _lsh_bucket_sql() -> str:
-    terms = []
-    for i in range(_LSH_PLANES):
-        w = "[" + ", ".join(str(v) for v in _lsh_weights(i)) + "]"
-        terms.append(
-            f"(CASE WHEN list_dot_product(qv, {w}) >= 0 THEN {1 << i} ELSE 0 END)"
-        )
-    return " + ".join(terms)
-
-
-def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH: assign every embedding a bucket (integer-exact),
-    then cosine top-3 per query (vec_id < 5) WITHIN its bucket only — the plan that
-    survives 10^12 vectors (bucket-partitioned join instead of all-pairs)."""
+def _emb_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings → (vec_id, v double[], band) with one row per (vector, band):
+    band key = band_index·2^8 + that band's 8 signature bits."""
+    sig = _lsh_sig_udf()
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        _lsh_bucket_col().alias("bucket"),
+        sig("embedding").alias("sig"),
     )
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    bands = F.array(
+        *[
+            (
+                F.lit(i * (1 << _LSH_BAND_BITS))
+                + F.shiftright("sig", i * _LSH_BAND_BITS).bitwiseAND(
+                    F.lit((1 << _LSH_BAND_BITS) - 1)
+                )
+            ).cast("long")
+            for i in range(_LSH_BANDS)
+        ]
     )
-    cand = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), "bucket")
+    return emb.select("vec_id", "v", F.explode(bands).alias("band"))
+
+
+def _sql_emb_banded() -> str:
+    sig_terms = " + ".join(
+        "(CASE WHEN list_dot_product(qv, [{w}]) >= 0 THEN {p} ELSE 0 END)".format(
+            w=", ".join(str(v) for v in _lsh_weights(i)), p=1 << i
+        )
+        for i in range(_LSH_PLANES)
+    )
+    band_selects = "\n    UNION ALL\n".join(
+        f"    SELECT vec_id, v, {i * (1 << _LSH_BAND_BITS)} + ((sig >> {i * _LSH_BAND_BITS}) & {(1 << _LSH_BAND_BITS) - 1}) AS band FROM s"
+        for i in range(_LSH_BANDS)
+    )
+    return f"""
+  e AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+    FROM embeddings),
+  s AS (SELECT vec_id, v, {sig_terms} AS sig FROM e),
+  banded AS (
+{band_selects}),
+  counted AS (
+    SELECT *, COUNT(*) OVER (PARTITION BY band) AS band_n,
+              MIN(vec_id) OVER (PARTITION BY band) AS band_keeper
+    FROM banded)
+"""
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via banded random-hyperplane LSH: every vector lands in 4 of 4×256
+    buckets; queries (vec_id < 5) compare ONLY against candidates sharing ≥1
+    bucket — never all-pairs — then exact cosine top-3. Degenerate buckets
+    (> _ANN_BUCKET_CAP members) are dropped from candidate generation (standard
+    stop-hash handling: an uninformative bucket costs quadratic work for noise
+    neighbors). The signature is one numpy matmul per Arrow batch."""
+    banded = _emb_banded(spark, sf_dir)
+    wb = Window.partitionBy("band")
+    counted = banded.withColumn("band_n", F.count("*").over(wb)).filter(
+        F.col("band_n") <= _ANN_BUCKET_CAP
+    )
+    q = counted.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "band"
+    )
+    cand = counted.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), "band")
     dot = F.aggregate(
         F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
     nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x * x))
     nc = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda acc, x: acc + x * x))
     sims = (
-        q.join(cand, (F.col("qb") == F.col("bucket")) & (F.col("q_id") != F.col("c_id")))
-        .select("q_id", "c_id", F.col("bucket"), F.round(dot / (nq * nc), 6).alias("cosine"))
+        q.join(cand, (q["band"] == cand["band"]) & (F.col("q_id") != F.col("c_id")))
+        .select("q_id", "c_id", F.round(dot / (nq * nc), 6).alias("cosine"))
+        .distinct()
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
 
 
 SQL_ANN_LSH = f"""
-WITH e AS (
-  SELECT vec_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-  FROM embeddings),
-b AS (SELECT vec_id, v, {_lsh_bucket_sql()} AS bucket FROM e),
+WITH {_sql_emb_banded()},
 sims AS (
-  SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.bucket,
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id,
          ROUND(list_dot_product(q.v, c.v) /
                (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(c.v, c.v))), 6)
            AS cosine
-  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < 5 AND q.vec_id != c.vec_id)
-SELECT q_id, c_id, bucket, cosine, rank FROM (
-  SELECT q_id, c_id, bucket, cosine,
+  FROM counted q JOIN counted c ON q.band = c.band AND q.vec_id < 5 AND q.vec_id != c.vec_id
+  WHERE q.band_n <= {_ANN_BUCKET_CAP} AND c.band_n <= {_ANN_BUCKET_CAP})
+SELECT q_id, c_id, cosine, rank FROM (
+  SELECT q_id, c_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
   FROM sims) WHERE rank <= 3
 """
 
+_EMB_DEDUP_CAP = 4096
 
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-bucket-bounded: only pairs sharing
-    an LSH bucket are compared; emit pairs with cosine ≥ 0.9."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        _lsh_bucket_col().alias("bucket"),
+
+def q_dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, bucket_cap: int = _EMB_DEDUP_CAP
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-band-bounded: only pairs sharing
+    ≥1 of the 4×256 band buckets are compared; emit pairs with cosine ≥ 0.9.
+    Buckets over `bucket_cap` degrade to keeper-representative pairing (linear),
+    mirroring the MinHash hot-band guard — no bucket can go quadratic."""
+    banded = _emb_banded(spark, sf_dir)
+    wb = Window.partitionBy("band")
+    counted = (
+        banded.withColumn("band_n", F.count("*").over(wb))
+        .withColumn("band_keeper", F.min("vec_id").over(wb))
+        .persist()
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("bucket").alias("bucket_b"))
+    a = counted.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "band", "band_n", "band_keeper"
+    )
+    b = counted.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("band").alias("band_b"))
+    guard = (F.col("band_n") <= F.lit(bucket_cap)) | (F.col("id_a") == F.col("band_keeper"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
     pairs = (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b")))
+        a.join(b, (F.col("band") == F.col("band_b")) & (F.col("id_a") < F.col("id_b")) & guard)
         .select("id_a", "id_b", F.round(dot / (na * nb), 6).alias("cosine"))
         .filter(F.col("cosine") >= 0.9)
+        .distinct()
     )
     return pairs
 
 
-SQL_DEDUP_EMB = f"""
-WITH e AS (
-  SELECT vec_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-  FROM embeddings),
-b AS (SELECT vec_id, v, {_lsh_bucket_sql()} AS bucket FROM e)
-SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+def _sql_dedup_emb(bucket_cap: int = _EMB_DEDUP_CAP) -> str:
+    return f"""
+WITH {_sql_emb_banded()}
+SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
        ROUND(list_dot_product(a.v, c.v) /
              (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(c.v, c.v))), 6)
          AS cosine
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+FROM counted a JOIN counted c
+  ON a.band = c.band AND a.vec_id < c.vec_id
+ AND (a.band_n <= {bucket_cap} OR a.vec_id = a.band_keeper)
 WHERE ROUND(list_dot_product(a.v, c.v) /
             (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(c.v, c.v))), 6) >= 0.9
 """
+
+
+SQL_DEDUP_EMB = _sql_dedup_emb()
 
 
 # ---------------------------------------------------------------------------------

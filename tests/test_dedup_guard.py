@@ -44,6 +44,35 @@ def test_hot_band_guard_linear_not_quadratic(spark, degenerate_dir):
     assert all(r["est_jaccard"] == 1.0 for r in pairs)
 
 
+N_VECS = 400
+
+
+@pytest.fixture(scope="module")
+def degenerate_emb_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("degenerate_emb")
+    vec = [0.25] * 64
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(N_VECS), type=pa.int64()),
+            "embedding": pa.array([vec] * N_VECS, type=pa.list_(pa.float32())),
+            "label": pa.array([0] * N_VECS, type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, d / "embeddings.parquet")
+    return str(d)
+
+
+def test_hot_bucket_guard_embeddings(spark, degenerate_emb_dir):
+    from pdf_extract_sys_spark.queries import q_dedup_embedding_cosine
+
+    pairs = q_dedup_embedding_cosine(spark, degenerate_emb_dir, bucket_cap=32).collect()
+    # identical vectors → one signature → every band bucket holds all 400 vectors
+    # (> cap) → keeper-vs-rest, not the ~80k all-pairs explosion
+    assert len(pairs) == N_VECS - 1
+    assert all(r["id_a"] == 0 and r["cosine"] == 1.0 for r in pairs)
+    assert sorted(r["id_b"] for r in pairs) == list(range(1, N_VECS))
+
+
 def test_hot_band_guard_matches_oracle(spark, degenerate_dir):
     con = duckdb.connect()
     con.sql(
