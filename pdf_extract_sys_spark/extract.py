@@ -140,17 +140,19 @@ def extract_docs(
     pdf_spans = pdf_k.segment_sentences_core(pdf_ev.select_pages(page_sel))
 
     # --- ocr_words: only for docs NOT routed to the native-text path -----------
+    # calls the pyarrow/numpy cores directly (the pandas compat wrappers exist for
+    # tests only): no object-dtype round-trip, and page identity stays PER INPUT
+    # SPAN (two ocr_words spans sharing one offset keep distinct page_tab rows,
+    # matching the oracle's per-span treatment — the wrapper's re-factorize on
+    # (doc_id, page) would merge them)
     ocr_rows = ok_rows(KIND_OCR_WORDS)
     ocr_rows = ocr_rows.loc[~ocr_rows["doc_id"].isin(searchable_docs)]
     ocr_pages = ocr_rows.rename(columns={"offset": "page", "text": "payload"})[
-        ["doc_id", "page", "payload", "pos"]
+        ["doc_id", "page", "pos", "payload"]
     ]
-    ocr_events, bad_ocr = ocr_k.decode_ocr_word_events(ocr_pages)
-    failed.update(bad_ocr)
-    if len(bad_ocr):
-        ocr_events = ocr_events.loc[~ocr_events["doc_id"].isin(set(bad_ocr))]
-    ocr_spans = ocr_k.group_ocr_lines(ocr_events)
-    ocr_spans = attach_pos(ocr_spans, ocr_pages)
+    ocr_ev, bad_ocr = ocr_k.decode_ocr_core(ocr_pages)
+    failed.update(bad_ocr)  # core already dropped bad docs' events
+    ocr_spans = ocr_k.group_ocr_lines_core(ocr_ev)
 
     # --- html -------------------------------------------------------------------
     html_rows = ok_rows(KIND_HTML)

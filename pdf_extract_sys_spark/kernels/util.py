@@ -84,13 +84,20 @@ def hex_to_chars(hex8: pd.Series) -> np.ndarray:
     return np.array(list(big), dtype="<U1")
 
 
+def cps_to_hex(cps: np.ndarray) -> np.ndarray:
+    """uint32 codepoint array → 8-digit hex strings, vectorized (C hex codec)."""
+    if not len(cps):
+        return np.empty(0, dtype="<U8")
+    hx = cps.astype(">u4").tobytes().hex()
+    return np.frombuffer(hx.encode(), dtype="S8").astype("U8")
+
+
 def chars_to_hex(chars: np.ndarray) -> np.ndarray:
     """Inverse of hex_to_chars: '<U1' char array → 8-digit hex strings, vectorized."""
     if not len(chars):
         return np.empty(0, dtype="<U8")
     cps = np.frombuffer("".join(chars).encode("utf-32-le"), dtype="<u4")
-    hx = cps.astype(">u4").tobytes().hex()
-    return np.frombuffer(hx.encode(), dtype="S8").astype("U8")
+    return cps_to_hex(cps)
 
 
 def repeat_frame(df: pd.DataFrame, counts: np.ndarray) -> pd.DataFrame:

@@ -794,65 +794,102 @@ FROM documents
 _SENT_WORDS = 10  # words per synthetic sentence
 _MIN_CHARS = 60  # stay above the searchable threshold deterministically
 
+# Corpus sanitization (identical on both sides): the blind N-word SQL grouping is
+# only equivalent to the real kernel's segmentation when no token can trigger a
+# kernel break/exception rule. Replacing every char outside [A-Za-z ] (enders,
+# newlines, digits) with 'q', then any 'www' run (the url-dot exception looks for
+# a case-insensitive 'www.' tail) with 'qqq', makes that equivalence structural
+# instead of an undocumented assumption about the testdata generator.
+_SANITIZE_SPARK = lambda c: F.regexp_replace(  # noqa: E731
+    F.regexp_replace(c, "[^A-Za-z ]", "q"), "(?i)www", "qqq"
+)
+_SANITIZE_SQL = "regexp_replace(regexp_replace(text, '[^A-Za-z ]', 'q', 'g'), 'www', 'qqq', 'gi')"
+
 
 def documents_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derive a pdf_chars corpus from `documents` deterministically: group each
-    text's words into 10-word sentences terminated by '.', lay out as char events
-    (kernels encode), one page per doc. Runs distributed inside mapInArrow."""
+    """Derive a pdf_chars corpus from `documents` deterministically: sanitize,
+    group each text's words into 10-word sentences terminated by '.', lay out as
+    char events (kernels encode), one page per doc. Runs distributed inside
+    mapInArrow; the synthesis is fully vectorized (regex dot insertion + one
+    utf-32 decode + numpy layout per batch — no per-doc Python beyond two
+    O(n_docs) joins)."""
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
 
     from .schema import CORPUS_ARROW
 
-    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= _MIN_CHARS).select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") >= _MIN_CHARS)
+        .select(F.col("doc_id").cast("string").alias("doc_id"),
+                _SANITIZE_SPARK(F.col("text")).alias("text"))
     )
 
+    group_pat = r"((?:[A-Za-z]+ ){%d}[A-Za-z]+)" % (_SENT_WORDS - 1)
+
     def encode(batches):
-        from .kernels.util import chars_to_hex
+        import pyarrow.compute as pc
+
+        from .kernels.util import cps_to_hex
 
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             pdf = batch.to_pandas()
-            words = pdf["text"].str.split(" ")
-            sent = words.map(
-                lambda ws: " ".join(
-                    " ".join(ws[i : i + _SENT_WORDS]) + "."
-                    for i in range(0, len(ws), _SENT_WORDS)
-                )
+            # '.' after every complete 10-word group (vectorized regex), plus a
+            # final '.' when the tail group is partial
+            sent = pdf["text"].str.replace(group_pat, r"\1.", regex=True)
+            n_words = pdf["text"].str.count(" ").to_numpy() + 1
+            sent = sent.where(n_words % _SENT_WORDS == 0, sent + ".")
+            # char layout for the WHOLE batch in one pass: utf-32 decode → hex,
+            # per-char x positions from per-doc run offsets; record assembly and
+            # the per-doc line join run in pyarrow C++ string kernels
+            lens = sent.str.len().to_numpy(np.int64)
+            cps = np.frombuffer("".join(sent.tolist()).encode("utf-32-le"), dtype="<u4")
+            bounds = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=bounds[1:])
+            within = np.arange(len(cps), dtype=np.int64) - np.repeat(bounds[:-1], lens)
+            lines = pc.binary_join_element_wise(
+                pa.array(cps_to_hex(cps), type=pa.string()),
+                pc.cast(pa.array(10 + 6 * within), pa.string()),
+                "760",
+                pc.cast(pa.array(16 + 6 * within), pa.string()),
+                "772",
+                "\t",
             )
-            payloads = []
-            for s in sent:  # per doc (generation-side; measured hot path is extract)
-                chars = np.array(list(s), dtype="<U1")
-                hexes = chars_to_hex(chars)
-                n = len(chars)
-                x0 = 10.0 + 6.0 * np.arange(n)
-                recs = [f"PAGE\t612\t792"] + [
-                    f"{h}\t{x:g}\t760\t{x+6:g}\t772" for h, x in zip(hexes, x0)
-                ]
-                payloads.append("\n".join(recs))
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "spans": [
-                        [{"kind": "pdf_chars", "text": p, "media_ref": None, "offset": 0}]
-                        for p in payloads
-                    ],
-                }
+            per_doc = pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(bounds, type=pa.int64()).cast(pa.int32()), lines),
+                "\n",
             )
-            yield pa.RecordBatch.from_pandas(out, schema=CORPUS_ARROW, preserve_index=False)
+            payloads = pc.binary_join_element_wise("PAGE\t612\t792", per_doc, "\n")
+            n = len(pdf)
+            struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(["pdf_chars"] * n),
+                    payloads,
+                    pa.array([None] * n, type=pa.string()),
+                    pa.array([0] * n, type=pa.int32()),
+                ],
+                fields=list(CORPUS_ARROW.field("spans").type.value_type),
+            )
+            spans = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32)), struct
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), spans], schema=CORPUS_ARROW
+            )
 
     return docs.mapInArrow(encode, "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
 
 
 def q_extract_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END extraction through the real kernels (mapInArrow), oracled by a SQL
-    re-derivation of the expected sentence spans."""
+    re-derivation of the expected sentence spans. The synthesized corpus is
+    persisted: extract_corpus branches into normal/mega sub-plans, and without a
+    cache the synthesis mapInArrow would execute once per branch."""
     from .pipeline import extract_corpus
 
-    corpus = documents_to_corpus(spark, sf_dir)
+    corpus = documents_to_corpus(spark, sf_dir).persist()
     out = extract_corpus(corpus)
     return out.select("doc_id", F.explode("spans").alias("s")).select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -863,7 +900,7 @@ def q_extract_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EXTRACT = f"""
 WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS ws,
+  SELECT doc_id, string_split({_SANITIZE_SQL}, ' ') AS ws,
          UNNEST(range(1, CAST(CEIL(LEN(string_split(text, ' ')) / {float(_SENT_WORDS)}) AS BIGINT) + 1)) AS i
   FROM documents WHERE LENGTH(text) >= {_MIN_CHARS})
 SELECT doc_id, CAST(i AS INT) - 1 AS span_offset,
