@@ -1,7 +1,10 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is REAL and tested — schema, Arrow batch shape,
-`mapInPandas` signature, partition-size control — while the codec step is a
+`mapInPandas` signature, partition-size control — and so is container-format
+SNIFFING: magic-byte detection plus header-level dimension/audio parsing for
+PNG / JPEG / GIF / BMP / WAV / MP4 / WEBP / PDF, implemented from the public
+format specs with no codec libraries. The pixel/sample DECODE step remains a
 clearly-marked stub (no image/audio libraries in this container): by default a
 deterministic fake featureizer; `strict=True` raises NotImplementedError exactly
 where a real decoder (PIL / torchaudio / pyav) would plug in.
@@ -10,12 +13,13 @@ Design for 100 TB: media bytes stay in a `binary` column and never leave the JVM
 except through Arrow batches into the vectorized featureizer; per-batch size is
 bounded by `spark.sql.execution.arrow.maxRecordsPerBatch` (bytes-heavy tables
 should set it low, e.g. 64). Feature extraction is embarrassingly parallel — no
-shuffle anywhere.
+shuffle anywhere. Sniffing touches only the first ~few hundred bytes per blob.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -38,6 +42,13 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_kind", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("content_sha1", T.StringType(), False),
+        # container-level sniffing (real, from file headers)
+        T.StructField("sniffed_format", T.StringType(), True),  # png|jpeg|gif|... or NULL
+        T.StructField("sniffed_kind", T.StringType(), True),  # image|audio|video|document
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), False),  # 16-dim
         T.StructField("decode_ok", T.BooleanType(), False),
     ]
@@ -45,12 +56,80 @@ FEATURE_SCHEMA = T.StructType(
 
 FEATURE_DIM = 16
 
+_NONE_META = (None, None, None, None, None, None)
+
+
+def sniff_media(b: bytes) -> tuple[str | None, str | None, int | None, int | None, int | None, int | None]:
+    """(format, kind, width, height, sample_rate, channels) from container headers
+    only — public format specs, no codec libraries. Unknown → all None."""
+    try:
+        if b.startswith(b"\x89PNG\r\n\x1a\n") and len(b) >= 24:
+            # IHDR is the first chunk: width/height big-endian uint32 at 16..23
+            w, h = struct.unpack(">II", b[16:24])
+            return "png", "image", w, h, None, None
+        if b.startswith(b"\xff\xd8\xff"):
+            # walk JPEG segments to the first SOFn frame header
+            i = 2
+            while i + 4 <= len(b):
+                if b[i] != 0xFF:
+                    break
+                marker = b[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
+                if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                              0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    if i + 9 <= len(b):
+                        h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                        return "jpeg", "image", w, h, None, None
+                    break
+                i += 2 + seglen
+            return "jpeg", "image", None, None, None, None
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            w, h = struct.unpack("<HH", b[6:10])
+            return "gif", "image", w, h, None, None
+        if b.startswith(b"BM") and len(b) >= 26:
+            w, h = struct.unpack("<ii", b[18:26])
+            return "bmp", "image", w, abs(h), None, None
+        if b.startswith(b"RIFF") and b[8:12] == b"WEBP":
+            return "webp", "image", None, None, None, None
+        if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
+            # find the fmt chunk: channels uint16 @+2, sample rate uint32 @+4
+            i = 12
+            while i + 8 <= len(b):
+                cid = b[i : i + 4]
+                clen = struct.unpack("<I", b[i + 4 : i + 8])[0]
+                if cid == b"fmt " and i + 16 <= len(b):
+                    ch, sr = struct.unpack("<HI", b[i + 10 : i + 16])
+                    return "wav", "audio", None, None, sr, ch
+                i += 8 + clen + (clen & 1)
+            return "wav", "audio", None, None, None, None
+        if len(b) >= 12 and b[4:8] == b"ftyp":
+            brand = b[8:12]
+            kind = "audio" if brand in (b"M4A ", b"M4B ") else "video"
+            return "mp4", kind, None, None, None, None
+        if b.startswith(b"ID3") or (len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0):
+            return "mp3", "audio", None, None, None, None
+        if b.startswith(b"OggS"):
+            return "ogg", "audio", None, None, None, None
+        if b.startswith(b"fLaC"):
+            return "flac", "audio", None, None, None, None
+        if b.startswith(b"%PDF-"):
+            return "pdf", "document", None, None, None, None
+        if b.startswith(b"\x1a\x45\xdf\xa3"):  # EBML (mkv/webm)
+            return "mkv", "video", None, None, None, None
+    except (struct.error, IndexError):
+        return _NONE_META
+    return _NONE_META
+
 
 def _fake_decode_features(content: pd.Series) -> pd.DataFrame:
-    """Deterministic stand-in for decode→feature-extract (REAL decode goes here:
-    e.g. PIL.Image.open for images, resample+spectrogram for audio, frame-sample
-    for video). Produces a 16-dim float feature from the byte content so the full
-    Spark plumbing — batching, schema, ordering — is exercised end-to-end."""
+    """Deterministic stand-in for the pixel/sample decode→feature step (REAL
+    decode goes here: e.g. PIL.Image.open for images, resample+spectrogram for
+    audio, frame-sample for video). Produces a 16-dim float feature from the
+    byte content so the full Spark plumbing — batching, schema, ordering — is
+    exercised end-to-end."""
     feats = []
     shas = []
     for b in content:  # byte-blob granularity (one iteration per media object)
@@ -64,8 +143,10 @@ def _fake_decode_features(content: pd.Series) -> pd.DataFrame:
 def extract_media_features(media: DataFrame, *, strict: bool = False) -> DataFrame:
     """media (MEDIA_SCHEMA) → FEATURE_SCHEMA via vectorized mapInPandas.
 
-    strict=True raises NotImplementedError at the decode step — the marked seam
-    where a real codec stack plugs in.
+    Container sniffing (format/kind/dims/audio params) is real and always runs;
+    `decode_ok` is True iff the magic bytes identified a known container.
+    strict=True raises NotImplementedError at the pixel/sample decode step — the
+    marked seam where a real codec stack plugs in.
     """
 
     def featureize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -77,15 +158,26 @@ def extract_media_features(media: DataFrame, *, strict: bool = False) -> DataFra
                     "real media decode requires an image/audio codec stack "
                     "(PIL/pyav/torchaudio) not present in this environment"
                 )
+            meta = pd.DataFrame(
+                (sniff_media(bytes(b)) for b in pdf["content"]),
+                columns=["sniffed_format", "sniffed_kind", "width", "height",
+                         "sample_rate", "channels"],
+            )
             fx = _fake_decode_features(pdf["content"])
             yield pd.DataFrame(
                 {
-                    "media_ref": pdf["media_ref"],
-                    "media_kind": pdf["media_kind"],
-                    "n_bytes": pdf["content"].map(len).astype(np.int64),
-                    "content_sha1": fx["content_sha1"],
-                    "feature": fx["feature"].map(list),
-                    "decode_ok": True,
+                    "media_ref": pdf["media_ref"].to_numpy(),
+                    "media_kind": pdf["media_kind"].to_numpy(),
+                    "n_bytes": pdf["content"].map(len).astype(np.int64).to_numpy(),
+                    "content_sha1": fx["content_sha1"].to_numpy(),
+                    "sniffed_format": meta["sniffed_format"].to_numpy(),
+                    "sniffed_kind": meta["sniffed_kind"].to_numpy(),
+                    "width": meta["width"].astype("Int32").to_numpy(na_value=None, dtype=object),
+                    "height": meta["height"].astype("Int32").to_numpy(na_value=None, dtype=object),
+                    "sample_rate": meta["sample_rate"].astype("Int32").to_numpy(na_value=None, dtype=object),
+                    "channels": meta["channels"].astype("Int32").to_numpy(na_value=None, dtype=object),
+                    "feature": fx["feature"].map(list).to_numpy(),
+                    "decode_ok": meta["sniffed_format"].notna().to_numpy(),
                 }
             )
 

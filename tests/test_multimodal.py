@@ -40,6 +40,38 @@ def test_feature_schema_and_determinism(spark, media_df):
     assert again == {k: v["feature"] for k, v in by_ref.items()}
 
 
+def test_magic_byte_sniffing(spark):
+    import struct
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00")
+    jpeg = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 480, 640))
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+    wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16))
+    pdf = b"%PDF-1.7\nfake"
+    unknown = b"FAKEBYTES:whatever"
+    rows = [
+        ("png-1", "image", png),
+        ("jpg-1", "image", jpeg),
+        ("gif-1", "image", gif),
+        ("wav-1", "audio", wav),
+        ("pdf-1", "image", pdf),
+        ("unk-1", "image", unknown),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_ref"]: r for r in extract_media_features(df).collect()}
+    assert (out["png-1"]["sniffed_format"], out["png-1"]["width"], out["png-1"]["height"]) == ("png", 640, 480)
+    assert (out["jpg-1"]["sniffed_format"], out["jpg-1"]["width"], out["jpg-1"]["height"]) == ("jpeg", 640, 480)
+    assert (out["gif-1"]["sniffed_format"], out["gif-1"]["width"], out["gif-1"]["height"]) == ("gif", 320, 200)
+    assert (out["wav-1"]["sniffed_format"], out["wav-1"]["sample_rate"], out["wav-1"]["channels"]) == ("wav", 44100, 2)
+    assert out["wav-1"]["sniffed_kind"] == "audio"
+    assert (out["pdf-1"]["sniffed_format"], out["pdf-1"]["sniffed_kind"]) == ("pdf", "document")
+    assert out["unk-1"]["sniffed_format"] is None and out["unk-1"]["decode_ok"] is False
+    assert all(out[k]["decode_ok"] for k in ("png-1", "jpg-1", "gif-1", "wav-1", "pdf-1"))
+
+
 def test_strict_mode_marks_decode_seam(spark, media_df):
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         extract_media_features(media_df, strict=True).collect()
