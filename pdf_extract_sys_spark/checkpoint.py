@@ -36,6 +36,62 @@ from .schema import CHECKPOINT_SCHEMA
 
 DEFAULT_NUM_PARTITIONS = 64
 
+# storage refs are format-pluggable: a plain path means parquet; an
+# "iceberg:catalog.db.table" ref routes reads/writes through the Iceberg
+# DataFrame v2 API (requires iceberg-spark-runtime on the classpath and a
+# configured catalog — not present in this sandbox, hence the availability
+# check; parquet behavior is byte-identical either way).
+ICEBERG_PREFIX = "iceberg:"
+
+
+def is_iceberg_ref(ref: str) -> bool:
+    return ref.startswith(ICEBERG_PREFIX)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime classes are on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def _require_backend(spark: SparkSession, *refs: str) -> None:
+    if any(is_iceberg_ref(r) for r in refs) and not iceberg_available(spark):
+        raise RuntimeError(
+            "an iceberg: table ref was given but the Iceberg Spark runtime is not "
+            "on the classpath (add iceberg-spark-runtime and configure the catalog)"
+        )
+
+
+def _read_table(spark: SparkSession, ref: str) -> DataFrame:
+    if is_iceberg_ref(ref):
+        return spark.read.table(ref[len(ICEBERG_PREFIX):])
+    return spark.read.parquet(ref)
+
+
+def _write_output(extracted: DataFrame, ref: str) -> None:
+    """Idempotent per-partition commit. Parquet: dynamic partition overwrite.
+    Iceberg: overwritePartitions() — the same replace-exactly-the-written-
+    partitions contract, with snapshot isolation on top."""
+    if is_iceberg_ref(ref):
+        extracted.writeTo(ref[len(ICEBERG_PREFIX):]).overwritePartitions()
+    else:
+        (
+            extracted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("partition_id")
+            .parquet(ref)
+        )
+
+
+def _append_checkpoint(rows_df: DataFrame, ref: str) -> None:
+    if is_iceberg_ref(ref):
+        rows_df.writeTo(ref[len(ICEBERG_PREFIX):]).append()
+    else:
+        rows_df.write.mode("append").parquet(ref)
+
 
 @dataclass
 class RunSummary:
@@ -58,15 +114,18 @@ def with_partition_id(corpus: DataFrame, num_partitions: int) -> DataFrame:
 
 def completed_partitions(spark: SparkSession, checkpoint_path: str, run_id: str) -> DataFrame:
     """Distinct partition_ids already completed for run_id (empty frame if the
-    checkpoint table does not exist yet). Only PATH_NOT_FOUND means "fresh run";
-    any other read error (corrupt footer, permission) propagates — silently
-    restarting the whole run on a corrupted checkpoint table would mask it."""
+    checkpoint table does not exist yet). Only PATH/TABLE_NOT_FOUND means "fresh
+    run"; any other read error (corrupt footer, permission) propagates —
+    silently restarting the whole run on a corrupted checkpoint table would
+    mask it."""
     from pyspark.errors import AnalysisException
 
     try:
-        cp = spark.read.parquet(checkpoint_path)
+        cp = _read_table(spark, checkpoint_path)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+        s = str(e)
+        if any(m in s for m in ("PATH_NOT_FOUND", "Path does not exist",
+                                "TABLE_OR_VIEW_NOT_FOUND")):
             return spark.createDataFrame([], "partition_id INT")
         raise
     return (
@@ -91,7 +150,8 @@ def run_extraction(
     """One (possibly resumed) extraction run. ``process_only`` restricts the run to
     a subset of pending partitions — used by tests to simulate a mid-run crash."""
     t0 = time.monotonic()
-    corpus = with_partition_id(spark.read.parquet(input_path), num_partitions)
+    _require_backend(spark, input_path, output_path, checkpoint_path)
+    corpus = with_partition_id(_read_table(spark, input_path), num_partitions)
 
     done = completed_partitions(spark, checkpoint_path, run_id)
     pending = corpus.join(F.broadcast(done), "partition_id", "left_anti")
@@ -111,15 +171,10 @@ def run_extraction(
 
     # idempotent per-partition commit: dynamic overwrite replaces exactly the
     # partitions present in this write (the pending ones)
-    (
-        extracted.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("partition_id")
-        .parquet(output_path)
-    )
+    _write_output(extracted, output_path)
 
     # metrics from the WRITTEN data (column-pruned scan: 4 small columns)
-    written = spark.read.parquet(output_path).filter(
+    written = _read_table(spark, output_path).filter(
         F.col("partition_id").isin(pending_parts)
     )
     agg = (
@@ -151,7 +206,7 @@ def run_extraction(
         for p in pending_parts
         if p not in seen
     ]
-    spark.createDataFrame(rows, CHECKPOINT_SCHEMA).write.mode("append").parquet(checkpoint_path)
+    _append_checkpoint(spark.createDataFrame(rows, CHECKPOINT_SCHEMA), checkpoint_path)
 
     tot = {
         "docs": sum(r[3] for r in rows),
