@@ -57,7 +57,14 @@ SCALING_DOCS = 128_000
 def make_session(threads: int, shuffle: int, pin_jvm_cores: bool = False):
     from pdf_extract_sys_spark.pipeline import default_session
 
-    extra = {}
+    extra = {
+        # task granularity must be ≫ cores or stragglers dominate the N-vs-4N
+        # comparison: at the default 128MB the 400MB scaling corpus becomes only
+        # 6 input tasks → a 2-wave makespan at 4 cores (~30% loss that has
+        # nothing to do with the engine). 8MB → ~64 tasks (file-bounded). At
+        # real scale input files ≫ executors make this automatic.
+        "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+    }
     if pin_jvm_cores:
         # a local[N] JVM otherwise sizes GC/internal pools for ALL host cores,
         # which skews N-vs-4N comparisons
@@ -129,30 +136,45 @@ def _mp_worker(f: str) -> int:
     return 1
 
 
-def kernel_scaling() -> dict:
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def kernel_scaling(passes: int = 4) -> dict:
     """Controlled N→4N experiment without the JVM: the identical extraction
     kernels over the identical corpus files via multiprocessing Pool(1) vs
     Pool(4). Isolates the engine's own scaling from single-VM noise and JVM
     pool-sizing effects (this is the per-executor compute that dominates a real
-    multi-executor cluster)."""
+    multi-executor cluster).
+
+    Estimator: this sandbox has MULTIPLICATIVE memory-bandwidth drift (2-5×,
+    minutes-scale). Independent per-level minima diverge under it (round 1
+    produced an impossible 1.371). Adjacent interleaved samples share the drift
+    factor, so it cancels in the per-pass ratio — the reported efficiency is the
+    MEDIAN of per-pass ratios, with per-level floors kept for reference."""
     import glob
     import multiprocessing as mp
 
     path = ensure_corpus(SCALING_DOCS)
     files = sorted(glob.glob(f"{path}/part-*.parquet"))
-    res: dict[int, float] = {}
-    for _ in range(2):  # interleaved passes, floor per level
-        for n in (1, 4):
+    secs: dict[int, list[float]] = {1: [], 4: []}
+    for p_idx in range(passes):
+        order = (1, 4) if p_idx % 2 == 0 else (4, 1)  # cancel order effects too
+        for n in order:
             with mp.get_context("spawn").Pool(n) as p:
                 p.map(_mp_worker, files[:n])  # warm imports
                 t0 = time.monotonic()
                 p.map(_mp_worker, files)
-                sec = time.monotonic() - t0
-            res[n] = min(res.get(n, sec), sec)
+                secs[n].append(time.monotonic() - t0)
+    ratios = [(a / b) / 4.0 for a, b in zip(secs[1], secs[4])]
     return {
-        "pool1_sec": round(res[1], 3),
-        "pool4_sec": round(res[4], 3),
-        "efficiency_1_to_4": round((res[1] / res[4]) / 4.0, 3),
+        "pool1_sec_min": round(min(secs[1]), 3),
+        "pool4_sec_min": round(min(secs[4]), 3),
+        "per_pass_efficiency": [round(r, 3) for r in ratios],
+        "efficiency_1_to_4": round(min(_median(ratios), 1.0), 3),
+        "efficiency_raw_median": round(_median(ratios), 3),
     }
 
 
@@ -202,24 +224,37 @@ def main() -> None:
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         return json.loads(line)["sec"]
 
-    scaling: dict[int, float] = {}
-    # gate pair: interleaved passes (drift cancellation), min per level — this
-    # sandbox shows multi-second noise bursts on identical work, so the floor of
-    # several interleaved samples is the only meaningful estimator. Mins only
-    # ever improve, so stopping early once the gate clears is conservative.
-    for _pass in range(5):
-        for threads in (1, 4):
-            s = sample(threads)
-            scaling[threads] = min(scaling.get(threads, s), s)
-        if _pass >= 1 and (scaling[1] / scaling[4]) / 4.0 >= 0.82:
+    # gate pair: ADJACENT interleaved samples, median of per-pass ratios.
+    # This sandbox's dominant noise is MULTIPLICATIVE memory-bandwidth drift on
+    # a minutes scale (2-5× on identical work); independent per-level minima
+    # diverge under it (round 1: a physically impossible kernel efficiency of
+    # 1.371 — the Pool(1) floor caught a fast-drift window the Pool(4) floor
+    # didn't). Back-to-back samples share the drift factor, which cancels in
+    # each pass's T1/T4 ratio; the median over passes then rejects the residual
+    # burst noise. Order alternates per pass to cancel order effects.
+    MIN_PASSES, MAX_PASSES = 5, 9
+    t1s: list[float] = []
+    t4s: list[float] = []
+    gate_ratios: list[float] = []
+    for _pass in range(MAX_PASSES):
+        order = (1, 4) if _pass % 2 == 0 else (4, 1)
+        res = {}
+        for threads in order:
+            res[threads] = sample(threads)
+        t1s.append(res[1])
+        t4s.append(res[4])
+        gate_ratios = [(a / b) / 4.0 for a, b in zip(t1s, t4s)]
+        if _pass + 1 >= MIN_PASSES and _median(gate_ratios) >= 0.8:
             break
+    scaling: dict[int, float] = {1: min(t1s), 4: min(t4s)}
+    efficiency_raw = _median(gate_ratios)
+    efficiency = min(efficiency_raw, 1.0)
     # saturation curve: min of 2 samples (noise spikes hit single shots)
     for _ in range(2):
         for threads in (8, 32):
             s = sample(threads)
             scaling[threads] = min(scaling.get(threads, s), s)
     thr = {t: n_scale / s for t, s in scaling.items()}
-    efficiency = (thr[4] / thr[1]) / 4.0
     efficiency_8_32 = (thr[32] / thr[8]) / 4.0
 
     kscale = kernel_scaling()
@@ -241,7 +276,10 @@ def main() -> None:
             "sec_by_threads": {str(t): round(s, 3) for t, s in scaling.items()},
             "docs_per_sec_by_threads": {str(t): round(v, 1) for t, v in thr.items()},
             "gate_pair": "local[1] -> local[4]",
+            "estimator": "median of per-pass adjacent-sample ratios (cancels multiplicative drift)",
+            "per_pass_efficiency": [round(r, 3) for r in gate_ratios],
             "efficiency_1_to_4": round(efficiency, 3),
+            "efficiency_1_to_4_raw_median": round(efficiency_raw, 3),
             "efficiency_8_to_32": round(efficiency_8_32, 3),
             "kernel_scaling": kscale,
         },
@@ -266,24 +304,34 @@ min of {N_RUNS} runs (this sandbox shows 2-5x memory-bandwidth jitter run-to-run
 ## Scaling gate (north rule: efficiency ≥ 0.8 from N to 4N)
 
 Identical job + identical input ({n_scale} docs) at several parallelism levels.
-Methodology (this sandbox shows multi-second noise bursts on identical work):
-fresh JVM per sample with `-XX:ActiveProcessorCount` pinned, python workers
-pre-warmed, pyarrow worker pools pinned to 1 thread (so local[N] really uses N
-cores), gate levels sampled in interleaved passes, floor (min) per level:
+Methodology: fresh JVM per sample with `-XX:ActiveProcessorCount` pinned, python
+workers pre-warmed, pyarrow worker pools pinned to 1 thread (so local[N] really
+uses N cores). This sandbox's dominant noise is MULTIPLICATIVE memory-bandwidth
+drift on a minutes scale (2-5× on identical work), under which independent
+per-level minima diverge — round 1's per-level-floor estimator produced a
+physically impossible kernel efficiency of 1.371. The estimator here samples the
+two gate levels BACK-TO-BACK each pass (order alternating), so the drift factor
+cancels in each pass's T_1/T_4 ratio, and reports the MEDIAN of per-pass ratios
+({len(gate_ratios)} passes). Any raw value above 1.0 means residual noise, never
+real superlinearity; headline values are capped at 1.0 with the raw median
+reported alongside.
 
-| threads | wall (s) | docs/s |
+| threads | best wall (s) | docs/s |
 |---|---|---|
 """ + "\n".join(
         f"| local[{t}] | {scaling[t]:.2f} | {thr[t]:.1f} |" for t in sorted(scaling)
     ) + f"""
 
-**Gate (N=1 → 4N=4 cores): efficiency = (T_1/T_4)/4 = {efficiency:.3f}**
-(8→32: {efficiency_8_32:.3f})
+**Gate (N=1 → 4N=4 cores): efficiency = median of per-pass (T_1/T_4)/4 =
+{efficiency:.3f}** (raw median {efficiency_raw:.3f}; per-pass
+{', '.join(f'{r:.3f}' for r in gate_ratios)}; 8→32: {efficiency_8_32:.3f})
 
 Controlled JVM-free experiment (identical kernels + identical files via
-multiprocessing, the per-executor compute of a real cluster):
-Pool(1) {kscale['pool1_sec']:.1f}s vs Pool(4) {kscale['pool4_sec']:.1f}s →
+multiprocessing, the per-executor compute of a real cluster), same estimator:
 **kernel scaling efficiency 1→4 = {kscale['efficiency_1_to_4']:.3f}**
+(raw median {kscale['efficiency_raw_median']:.3f}; per-pass
+{', '.join(f'{r:.3f}' for r in kscale['per_pass_efficiency'])};
+floors Pool(1) {kscale['pool1_sec_min']:.1f}s / Pool(4) {kscale['pool4_sec_min']:.1f}s)
 
 This sandbox is a single VM: its memory bus saturates near 8 threads (local[8] ≈
 local[32] wall above), a constraint a real multi-executor cluster does not have —

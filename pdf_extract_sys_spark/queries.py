@@ -13,8 +13,11 @@ extraction core — graded alongside SURVEY.md §2):
   text analysis           q_doc_stats, q_quality_score, q_lang_stopwords,
                           q_token_count_bpe
   deduplication           q_dedup_exact, q_minhash_signatures, q_minhash_lsh_pairs,
-                          q_simhash
-  similarity search       q_embedding_topk (brute-force cosine top-k baseline)
+                          q_ngram_jaccard_pairs (exact verify over LSH candidates),
+                          q_simhash, q_fingerprint_modp (rolling-hash mod-p),
+                          q_dedup_embedding_cosine
+  similarity search       q_embedding_topk (brute-force cosine top-k baseline),
+                          q_ann_lsh_bucketed (banded random-hyperplane LSH)
   multimodal plumbing     q_media_meta (binary column metadata; decode stubbed in
                           functions/multimodal.py)
   extraction (flagship)   q_extract_sentences — the REAL pipeline (mapInArrow
@@ -478,6 +481,103 @@ WHERE ROUND(({eqs}) / {float(_MINHASH_K)}, 4) >= 0.5
 
 SQL_LSH_PAIRS = _sql_lsh_pairs()
 
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard over near-dup candidates — the verify stage of the
+    two-stage dedup pipeline: MinHash-LSH proposes candidate pairs (bounded,
+    never all-pairs), then TRUE Jaccard over distinct token-3-gram sets rebinds
+    the estimate. Output: pairs with exact Jaccard ≥ 0.35."""
+    cands = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    tg_raw = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "),
+            F.element_at(toks, i + 1), F.lit(" "),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    tg = docs.select(
+        "doc_id",
+        F.array_distinct(F.filter(tg_raw, lambda x: x.isNotNull())).alias("tg"),
+    )
+    a = tg.select(F.col("doc_id").alias("doc_a"), F.col("tg").alias("tga"))
+    b = tg.select(F.col("doc_id").alias("doc_b"), F.col("tg").alias("tgb"))
+    inter = F.size(F.array_intersect("tga", "tgb"))
+    union = F.size(F.array_union("tga", "tgb"))
+    return (
+        cands.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.35)
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH cand AS ({_sql_lsh_pairs()}),
+tok AS (SELECT doc_id, string_split(LOWER(text), ' ') AS ws FROM documents),
+tg AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           list_transform(range(1, GREATEST(LEN(ws) - 2, 1) + 1),
+                          i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] || ' ' || ws[CAST(i AS INT) + 2]),
+           x -> x IS NOT NULL)) AS tg
+  FROM tok)
+SELECT doc_a, doc_b,
+       ROUND(LEN(list_intersect(a.tg, b.tg)) / LEN(list_distinct(a.tg || b.tg)), 4) AS jaccard
+FROM cand JOIN tg a ON cand.doc_a = a.doc_id
+          JOIN tg b ON cand.doc_b = b.doc_id
+WHERE ROUND(LEN(list_intersect(a.tg, b.tg)) / LEN(list_distinct(a.tg || b.tg)), 4) >= 0.35
+"""
+
+# mod-p fingerprint selection (Manber's "0 mod p" scheme — the public rolling-
+# hash document-fingerprinting baseline; winnowing is the windowed refinement)
+_FP_MOD = 32
+
+
+def q_fingerprint_modp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via rolling k-gram hashes: every char-5-gram is
+    hashed (same hash-once pipeline as MinHash), and the hashes ≡ 0 (mod 32) are
+    the document's fingerprint set. Shuffle-free pure map; fingerprints of
+    near-identical docs overlap heavily (the MOSS/Manber property)."""
+    docs = _t(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(lower) - 4, F.lit(1))),
+        lambda i: lower.substr(i, F.lit(5)),
+    )
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        ).alias("hs"),
+    )
+    fp = F.array_sort(
+        F.array_distinct(F.filter("hs", lambda h: h % _FP_MOD == 0))
+    )
+    return hashed.select(
+        "doc_id",
+        F.size(fp).alias("n_fingerprints"),
+        _h56(F.concat_ws(",", fp)).alias("fingerprint_hash"),
+    )
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       LEN(fp) AS n_fingerprints,
+       -- COALESCE: DuckDB array_to_string([]) is NULL where Spark concat_ws is ''
+       {_h56_sql("COALESCE(array_to_string(fp, ','), '')")} AS fingerprint_hash
+FROM (
+  SELECT doc_id,
+         list_sort(list_distinct(list_filter(hs, h -> h % {_FP_MOD} = 0))) AS fp
+  FROM (
+    SELECT doc_id,
+           list_transform(
+             range(1, GREATEST(LENGTH(text) - 4, 1) + 1),
+             i -> CAST('0x' || SUBSTR(md5(SUBSTR(LOWER(text), CAST(i AS INT), 5)), 1, 8) AS BIGINT)
+           ) AS hs
+    FROM documents))
+"""
+
 _SIMHASH_BITS = 16
 
 
@@ -926,6 +1026,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "q_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
     "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_LSH_PAIRS),
+    "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
+    "q_fingerprint_modp": (q_fingerprint_modp, SQL_FINGERPRINT),
     "q_simhash": (q_simhash, SQL_SIMHASH),
     "q_embedding_topk": (q_embedding_topk, SQL_TOPK),
     "q_ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),

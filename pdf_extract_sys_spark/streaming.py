@@ -1,0 +1,124 @@
+"""Incremental extraction via Structured Streaming.
+
+The reference serves results incrementally: the client POSTs a job, then polls
+``GET /status`` while pages complete batch-by-batch (``backend/app/main.py:276-314``,
+polled by ``frontend/app/page.tsx:27-53``). The Spark-native equivalent is a file
+stream over the corpus directory: every micro-batch runs the SAME batch plan
+(``extract_corpus`` — shuffle-free normal path + salted mega docs) inside
+``foreachBatch``, appends its output, and appends one progress row per epoch that
+a poller reads — Structured Streaming's checkpoint gives exactly-once per input
+file, replacing the reference's Redis read-modify-write progress protocol (which
+has a lost-update window, SURVEY.md §3.2).
+
+Batch and streaming share one plan: ``foreachBatch`` receives an ordinary
+DataFrame, so extraction semantics (and the no-per-row-Python audit) are
+identical to the batch job — no second implementation to drift.
+
+Scale notes: the file source lists the input directory per trigger
+(``maxFilesPerTrigger`` bounds batch size); at 10^12-doc scale the same code
+points at a streaming table source (Iceberg/Kafka) instead — the foreachBatch
+body is source-agnostic.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .pipeline import DEFAULT_SALT_THRESHOLD, extract_corpus
+from .schema import CORPUS_SCHEMA
+
+PROGRESS_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch_id", T.LongType(), False),
+        T.StructField("docs_done", T.LongType(), False),
+        T.StructField("spans_emitted", T.LongType(), False),
+        T.StructField("parse_failures", T.LongType(), False),
+        T.StructField("bytes_processed", T.LongType(), False),
+        T.StructField("completed_at", T.DoubleType(), False),  # unix seconds
+    ]
+)
+
+
+def stream_extract(
+    spark: SparkSession,
+    *,
+    input_path: str,
+    output_path: str,
+    progress_path: str,
+    checkpoint_location: str,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Start (and by default drain) an incremental extraction stream.
+
+    available_now=True processes everything currently in input_path and stops —
+    the batch+poll session shape. available_now=False leaves a continuous
+    micro-batch stream running (returns the StreamingQuery; caller manages it).
+    """
+    reader = spark.readStream.schema(CORPUS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    corpus = reader.parquet(input_path)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        out = extract_corpus(batch_df, salt_threshold=salt_threshold)
+        out.persist()
+        try:
+            out.write.mode("append").parquet(output_path)
+            m = out.agg(
+                F.count("*").alias("docs"),
+                F.coalesce(F.sum("n_spans"), F.lit(0)).alias("spans"),
+                F.coalesce(F.sum(F.col("parse_failed").cast("long")), F.lit(0)).alias("fails"),
+                F.coalesce(F.sum("bytes_in"), F.lit(0)).alias("bytes"),
+            ).collect()[0]
+            row = [(int(epoch_id), m["docs"], int(m["spans"]), int(m["fails"]),
+                    int(m["bytes"]), time.time())]
+            spark.createDataFrame(row, PROGRESS_SCHEMA).write.mode("append").parquet(
+                progress_path
+            )
+        finally:
+            out.unpersist()
+
+    writer = (
+        corpus.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def poll_status(spark: SparkSession, progress_path: str) -> dict:
+    """The reference's GET /status analogue: aggregate progress rows into one
+    summary dict (epochs completed, totals). Empty table → zeroed summary."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        p = spark.read.parquet(progress_path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return {"epochs": 0, "docs_done": 0, "spans_emitted": 0,
+                    "parse_failures": 0, "bytes_processed": 0}
+        raise
+    r = p.agg(
+        F.countDistinct("epoch_id").alias("epochs"),
+        F.coalesce(F.sum("docs_done"), F.lit(0)).alias("docs"),
+        F.coalesce(F.sum("spans_emitted"), F.lit(0)).alias("spans"),
+        F.coalesce(F.sum("parse_failures"), F.lit(0)).alias("fails"),
+        F.coalesce(F.sum("bytes_processed"), F.lit(0)).alias("bytes"),
+    ).collect()[0]
+    return {
+        "epochs": int(r["epochs"]),
+        "docs_done": int(r["docs"]),
+        "spans_emitted": int(r["spans"]),
+        "parse_failures": int(r["fails"]),
+        "bytes_processed": int(r["bytes"]),
+    }
