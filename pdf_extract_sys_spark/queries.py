@@ -17,7 +17,8 @@ extraction core — graded alongside SURVEY.md §2):
                           q_simhash, q_fingerprint_modp (rolling-hash mod-p),
                           q_dedup_embedding_cosine
   similarity search       q_embedding_topk (brute-force cosine top-k baseline),
-                          q_ann_lsh_bucketed (banded random-hyperplane LSH)
+                          q_ann_lsh_bucketed (banded random-hyperplane LSH),
+                          q_ann_ivf_flat (coarse-quantizer cells + nprobe search)
   multimodal plumbing     q_media_meta (binary column metadata; decode stubbed in
                           functions/multimodal.py)
   extraction (flagship)   q_extract_sentences — the REAL pipeline (mapInArrow
@@ -806,6 +807,108 @@ SELECT q_id, c_id, cosine, rank FROM (
   FROM sims) WHERE rank <= 3
 """
 
+# IVF-Flat ANN: coarse quantizer = the first K embeddings (deterministic stand-in
+# for k-means training — the partition/probe mechanics are identical), cells via
+# exact integer argmin distance, queries probe the nprobe nearest cells and
+# brute-force only inside them. The complementary bucketing family to LSH:
+# data-dependent cells vs data-oblivious hyperplanes.
+_IVF_K = 16
+_IVF_NPROBE = 2
+
+
+def _ivf_quantize(m):
+    import numpy as np
+
+    t = m.astype(np.float64) * 1000.0
+    return np.copysign(np.floor(np.abs(t) + 0.5), t).astype(np.int64)
+
+
+def q_ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF-Flat: every vector is assigned to its nearest of K=16 centroid
+    cells (exact integer-quantized L2 argmin, ties to the lower cell id); each
+    query (vec_id < 5) probes its NPROBE=2 nearest cells and computes exact
+    cosine top-3 within them only. Assignment is one numpy matmul per Arrow
+    batch against the broadcast centroid matrix (the coarse quantizer is tiny by
+    design — collecting K rows to the driver is the IVF pattern, not a
+    collect() anti-pattern)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(F.col("vec_id") < _IVF_K).orderBy("vec_id").select("embedding").collect()
+    )
+    cents = _ivf_quantize(np.array([r["embedding"] for r in cent_rows]))  # (K, 64)
+    cnorm = (cents * cents).sum(axis=1)  # (K,)
+
+    @pandas_udf(ArrayType(LongType()))
+    def probe_cells(e: pd.Series) -> pd.Series:
+        q = _ivf_quantize(np.stack(e.to_numpy()))  # (n, 64)
+        # d2 = |q|^2 - 2 q·c + |c|^2 ; |q|^2 constant per row — drop it, the
+        # argmin order is unchanged and everything stays exact int64
+        d2 = cnorm[None, :] - 2 * (q @ cents.T)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :_IVF_NPROBE]
+        return pd.Series(list(order.astype(np.int64)))
+
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        probe_cells("embedding").alias("cells"),
+    )
+    cand = base.select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"),
+        F.col("cells")[0].alias("cell"),
+    )
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.explode("cells").alias("cell"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x * x))
+    nc = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda acc, x: acc + x * x))
+    sims = (
+        q.join(cand, ["cell"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", F.round(dot / (nq * nc), 6).alias("cosine"))
+        .distinct()
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+
+
+SQL_ANN_IVF = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings),
+cent AS (SELECT vec_id AS c_k, qv AS cq FROM e WHERE vec_id < {_IVF_K}),
+dist AS (
+  SELECT e.vec_id, e.v, cent.c_k,
+         CAST(list_dot_product(cent.cq, cent.cq) - 2 * list_dot_product(e.qv, cent.cq) AS BIGINT) AS d2
+  FROM e CROSS JOIN cent),
+ranked AS (
+  SELECT vec_id, v, c_k,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c_k) AS rnk
+  FROM dist),
+cand AS (SELECT vec_id AS c_id, v AS cv, c_k AS cell FROM ranked WHERE rnk = 1),
+q AS (SELECT vec_id AS q_id, v AS qv, c_k AS cell FROM ranked
+      WHERE vec_id < 5 AND rnk <= {_IVF_NPROBE}),
+sims AS (
+  SELECT DISTINCT q.q_id, cand.c_id,
+         ROUND(list_dot_product(q.qv, cand.cv) /
+               (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(list_dot_product(cand.cv, cand.cv))), 6)
+           AS cosine
+  FROM q JOIN cand ON q.cell = cand.cell AND q.q_id != cand.c_id)
+SELECT q_id, c_id, cosine, rank FROM (
+  SELECT q_id, c_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM sims) WHERE rank <= 3
+"""
+
 _EMB_DEDUP_CAP = 4096
 
 
@@ -1031,6 +1134,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_simhash": (q_simhash, SQL_SIMHASH),
     "q_embedding_topk": (q_embedding_topk, SQL_TOPK),
     "q_ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
+    "q_ann_ivf_flat": (q_ann_ivf_flat, SQL_ANN_IVF),
     "q_dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB),
     "q_media_meta": (q_media_meta, SQL_MEDIA_META),
     "q_extract_sentences": (q_extract_sentences, SQL_EXTRACT),
