@@ -23,7 +23,10 @@ extraction core — graded alongside SURVEY.md §2):
                           functions/multimodal.py)
   extraction (flagship)   q_extract_sentences — the REAL pipeline (mapInArrow
                           kernels) on a corpus deterministically derived from
-                          `documents`, oracled by a SQL re-derivation
+                          `documents`, oracled by a SQL re-derivation;
+                          q_extract_html — the boilerplate-strip kernel over
+                          derived html pages (nav/footer dropped, <img> emitted
+                          as an interleaved media span)
 
 Portable deterministic 56-bit hash used on both sides:
   Spark:  conv(substr(md5(x), 1, 14), 16, 10)::long
@@ -1112,6 +1115,66 @@ FROM w
 """
 
 
+def q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END html extraction through the real boilerplate-stripping kernel:
+    each document is wrapped (pure Catalyst string concat, no UDF) into an html
+    page with link-dense nav boilerplate, a short footer, the text as main
+    content, and an embedded <img>. The kernel must drop both boilerplate lines
+    (nav: link density 1 > 0.34; footer: < 25 visible chars), keep the content
+    line, and emit the image as an interleaved media span — the north rule's
+    'DOM text-density boilerplate strip' evidenced at the query level."""
+    from .pipeline import extract_corpus
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") >= _MIN_CHARS)
+        .select(F.col("doc_id").cast("string").alias("doc_id"),
+                _SANITIZE_SPARK(F.col("text")).alias("t"))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc</title><style>p{margin:0}</style></head><body>"
+              "<nav><a href='#'>Home</a> <a href='#'>About</a> <a href='#'>Contact</a></nav>"
+              "<p>"),
+        F.col("t"),
+        F.lit('</p><img src="fig-'),
+        F.col("doc_id"),
+        F.lit('"><footer>Copyright qsite</footer></body></html>'),
+    )
+    corpus = docs.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                html.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    out = extract_corpus(corpus)
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("s.offset").alias("span_offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("span_text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+SQL_EXTRACT_HTML = f"""
+WITH d AS (
+  SELECT doc_id, {_SANITIZE_SQL} AS t
+  FROM documents WHERE LENGTH(text) >= {_MIN_CHARS})
+SELECT doc_id, 0 AS span_offset, 'text' AS kind, t AS span_text,
+       CAST(NULL AS VARCHAR) AS media_ref
+FROM d
+UNION ALL
+SELECT doc_id, 1 AS span_offset, 'media' AS kind, CAST(NULL AS VARCHAR) AS span_text,
+       'fig-' || doc_id AS media_ref
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------------
@@ -1138,4 +1201,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB),
     "q_media_meta": (q_media_meta, SQL_MEDIA_META),
     "q_extract_sentences": (q_extract_sentences, SQL_EXTRACT),
+    "q_extract_html": (q_extract_html, SQL_EXTRACT_HTML),
 }
