@@ -32,7 +32,7 @@ HERE = Path(__file__).resolve().parent
 sys.path.insert(0, str(HERE))
 
 SEED = 20260816
-N_RUNS = 3
+N_RUNS = 5  # headline = min of N; more samples only tighten the floor under drift
 
 
 def sf_from_dir(sf_dir: str) -> float:

@@ -96,6 +96,87 @@ def stream_extract(
     return writer.start()
 
 
+SESSION_GAP_US = 1_800_000_000  # 30 min, matching q_sessionize_events
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_sessions", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType(), False),
+        T.StructField("n_sessions", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+
+def sessionize_events_stream(events: DataFrame) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): 30-min-gap
+    sessionization of an event stream, per user. State carries (last event
+    micro-epoch, session count, event count) across micro-batches; each batch's
+    events are sorted by (ts, event_id) inside the group and folded into the
+    state vectorized (numpy gap mask — only the batch-boundary gap needs the
+    carried state). Emits the updated per-user totals every batch ("update"
+    semantics — the streaming analogue of q_sessionize_events, whose batch
+    result it must reproduce when events arrive in event-time order)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd  # closure ships by value; worker needs its own import
+
+        last_us, n_sess, n_ev = state.get if state.exists else (None, 0, 0)
+        parts = [p[["ts", "event_id"]] for p in pdfs if len(p)]
+        if parts:
+            batch = pd.concat(parts).sort_values(["ts", "event_id"], kind="stable")
+            us = (batch["ts"].astype("int64")).to_numpy()  # ns → see below
+            # pandas datetime64[ns/us] → micro-epochs
+            unit = batch["ts"].dtype
+            us = us // 1000 if str(unit).endswith("[ns]") else us
+            prev = np.empty_like(us)
+            prev[1:] = us[:-1]
+            prev[0] = last_us if last_us is not None else us[0]
+            new_sess = (us - prev) > SESSION_GAP_US
+            if last_us is None:
+                new_sess[0] = True  # a user's very first event opens a session
+            n_sess += int(new_sess.sum())
+            n_ev += len(us)
+            last_us = int(us[-1])
+            state.update((last_us, n_sess, n_ev))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sess], "n_events": [n_ev]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def windowed_event_counts(events: DataFrame, *, window: str = "30 minutes",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Event-time windowed aggregation with a watermark for late data: the
+    standard streaming shape (readStream → withWatermark → window groupBy).
+    Returns the streaming DataFrame; callers pick the sink/output mode.
+    Watermarks require TIMESTAMP (not NTZ), so ts is cast — window boundaries
+    follow the session timezone, consistently on every run."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+
+
 def poll_status(spark: SparkSession, progress_path: str) -> dict:
     """The reference's GET /status analogue: aggregate progress rows into one
     summary dict (epochs completed, totals). Empty table → zeroed summary."""

@@ -78,3 +78,89 @@ def test_poll_status_empty(spark, tmp_path):
     st = poll_status(spark, str(tmp_path / "nope"))
     assert st == {"epochs": 0, "docs_done": 0, "spans_emitted": 0,
                   "parse_failures": 0, "bytes_processed": 0}
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _drain_sessionize(spark, in_dir, out_dir, cp_dir):
+    from pyspark.sql import functions as F
+
+    from pdf_extract_sys_spark.streaming import sessionize_events_stream
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    sess = sessionize_events_stream(stream)
+
+    def sink(df, eid):
+        df.withColumn("epoch", F.lit(int(eid))).write.mode("append").parquet(out_dir)
+
+    q = (sess.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", cp_dir)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: state carried ACROSS micro-batches
+    (two separate drains sharing a checkpoint) reproduces the batch
+    q_sessionize_events result when events arrive in event-time order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pdf_extract_sys_spark.queries import q_sessionize_events
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = ev.select(F.percentile_approx(us, 0.5).alias("m")).first()["m"]
+    in_dir, out_dir, cp = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "cp")
+
+    ev.filter(us <= cut).write.mode("append").parquet(in_dir)
+    _drain_sessionize(spark, in_dir, out_dir, cp)
+    ev.filter(us > cut).write.mode("append").parquet(in_dir)
+    _drain_sessionize(spark, in_dir, out_dir, cp)
+
+    w = Window.partitionBy("user_id").orderBy(F.col("epoch").desc())
+    final = (
+        spark.read.parquet(out_dir)
+        .withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+        .select("user_id", "n_sessions", "n_events")
+    )
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in final.collect()}
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in q_sessionize_events(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    """Event-time windowed agg + watermark (complete mode to a memory sink)
+    equals the batch window aggregation."""
+    from pyspark.sql import functions as F
+
+    from pdf_extract_sys_spark.streaming import windowed_event_counts
+
+    src = f"{SF_DIR}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path))
+    spark.read.parquet(src).write.mode("append").parquet(str(tmp_path))
+    agg = windowed_event_counts(spark.readStream.schema(schema).parquet(str(tmp_path)))
+    q = (agg.writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r["w_start"], r["event_type"]): r["n"]
+           for r in spark.sql("SELECT * FROM win_counts").collect()}
+    want = {
+        (r["w_start"], r["event_type"]): r["n"]
+        for r in (
+            spark.read.parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("w_start"), "event_type", "n")
+            .collect()
+        )
+    }
+    assert got == want and len(got) > 0
