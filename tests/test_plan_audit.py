@@ -70,3 +70,31 @@ def test_broadcast_join_used(spark):
 def test_anti_join_is_broadcast(spark):
     plan = plan_of(q_anti_join_resume(spark, SF))
     assert "LeftAnti" in plan
+
+
+def test_no_per_row_python_in_any_registry_query(spark):
+    """Every registered query's executed plan: PythonMapInArrow / ArrowEvalPython /
+    FlatMapGroupsInPandas only — never BatchEvalPython (north rule)."""
+    from pdf_extract_sys_spark.queries import REGISTRY
+
+    for name, (fn, _sql) in REGISTRY.items():
+        plan = plan_of(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, f"{name} has per-row Python:\n{plan[:2000]}"
+
+
+def test_minhash_signatures_plan_is_pure_map(spark):
+    """Hash-once + shuffle-free: exactly one md5 in the plan, no Exchange."""
+    from pdf_extract_sys_spark.queries import q_minhash_signatures
+
+    plan = plan_of(q_minhash_signatures(spark, SF))
+    assert plan.count("md5") == 1, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_lsh_pairs_join_reads_cache(spark):
+    """The banded-signature self-join must read the persisted table on both
+    sides (InMemoryTableScan), not recompute the shingle→minhash pipeline."""
+    from pdf_extract_sys_spark.queries import q_minhash_lsh_pairs
+
+    plan = plan_of(q_minhash_lsh_pairs(spark, SF))
+    assert plan.count("InMemoryTableScan") >= 2, plan
