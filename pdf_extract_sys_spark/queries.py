@@ -235,16 +235,21 @@ FROM documents
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality heuristics: stopword ratio + length gates (training-data filtering)."""
+    """Quality heuristics: stopword ratio + punctuation ratio + length gates
+    (the Gopher/C4-style training-data filters: length, punct, stopword)."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOP)))
     n = F.size(toks)
     ratio = F.round(stop_hits / n, 4)
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+    punct_ratio = F.round(n_punct / F.greatest(F.length("text"), F.lit(1)), 4)
     return docs.select(
         "doc_id",
         stop_hits.alias("stopword_hits"),
         ratio.alias("stopword_ratio"),
+        n_punct.alias("punct_chars"),
+        punct_ratio.alias("punct_ratio"),
         ((n >= 20) & (n <= 2000) & (ratio >= F.lit(0.0))).alias("passes_length_gate"),
     )
 
@@ -254,6 +259,9 @@ SELECT doc_id,
        LEN(list_filter(string_split(LOWER(text), ' '), t -> t IN ({_sql_list(EN_STOP)}))) AS stopword_hits,
        ROUND(LEN(list_filter(string_split(LOWER(text), ' '), t -> t IN ({_sql_list(EN_STOP)})))
              / LEN(string_split(LOWER(text), ' ')), 4) AS stopword_ratio,
+       LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct_chars,
+       ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')))
+             / GREATEST(LENGTH(text), 1), 4) AS punct_ratio,
        (LEN(string_split(LOWER(text), ' ')) BETWEEN 20 AND 2000) AS passes_length_gate
 FROM documents
 """
@@ -287,6 +295,54 @@ WITH h AS (
 SELECT doc_id, hits_en, hits_de, hits_fr,
        CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
             WHEN hits_de >= hits_fr THEN 'de' ELSE 'fr' END AS guessed_lang,
+       lang
+FROM h
+"""
+
+
+EN_BIGRAMS = ["th", "he", "er", "an", "in"]
+DE_BIGRAMS = ["ch", "ei", "en", "un", "ie"]
+FR_BIGRAMS = ["le", "es", "ou", "qu", "oi"]
+
+
+def q_lang_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language ID: count characteristic bigrams per language.
+    Counts via length-delta after substring removal (replace is non-overlapping
+    left-to-right on both engines — exact cross-engine semantics, unlike regex
+    alternation order)."""
+    docs = _t(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+
+    def hits(bgs: list[str]) -> F.Column:
+        total = F.lit(0)
+        for bg in bgs:
+            total = total + (F.length(lower) - F.length(F.replace(lower, F.lit(bg)))) / 2
+        return total.cast("long")
+
+    en, de, fr = hits(EN_BIGRAMS), hits(DE_BIGRAMS), hits(FR_BIGRAMS)
+    guess = F.when((en >= de) & (en >= fr), "en").when(de >= fr, "de").otherwise("fr")
+    return docs.select(
+        "doc_id", en.alias("bg_en"), de.alias("bg_de"), fr.alias("bg_fr"),
+        guess.alias("guessed_lang"), "lang",
+    )
+
+
+def _sql_bigram_hits(bgs: list[str]) -> str:
+    return " + ".join(
+        f"(LENGTH(lt) - LENGTH(REPLACE(lt, '{bg}', ''))) / 2" for bg in bgs
+    )
+
+
+SQL_LANG_BIGRAMS = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST({_sql_bigram_hits(EN_BIGRAMS)} AS BIGINT) AS bg_en,
+         CAST({_sql_bigram_hits(DE_BIGRAMS)} AS BIGINT) AS bg_de,
+         CAST({_sql_bigram_hits(FR_BIGRAMS)} AS BIGINT) AS bg_fr
+  FROM (SELECT doc_id, lang, LOWER(text) AS lt FROM documents))
+SELECT doc_id, bg_en, bg_de, bg_fr,
+       CASE WHEN bg_en >= bg_de AND bg_en >= bg_fr THEN 'en'
+            WHEN bg_de >= bg_fr THEN 'de' ELSE 'fr' END AS guessed_lang,
        lang
 FROM h
 """
@@ -1188,6 +1244,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_doc_stats": (q_doc_stats, SQL_DOC_STATS),
     "q_quality_score": (q_quality_score, SQL_QUALITY),
     "q_lang_stopwords": (q_lang_stopwords, SQL_LANG),
+    "q_lang_bigrams": (q_lang_bigrams, SQL_LANG_BIGRAMS),
     "q_token_count_bpe": (q_token_count_bpe, SQL_TOKENS),
     "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "q_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),

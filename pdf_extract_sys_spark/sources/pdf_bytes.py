@@ -387,7 +387,10 @@ def pdf_binary_to_corpus(df):
                             for i, p in enumerate(payloads)
                         ]
                     )
-                except (PdfParseError, zlib.error, struct.error):
+                except Exception:
+                    # untrusted-bytes boundary: ANY decode failure degrades to
+                    # the per-doc sentinel (main.py:361-372 catches broadly per
+                    # page for the same reason); the job never aborts
                     spans_col.append(
                         [{"kind": "pdf_chars", "text": None, "media_ref": None, "offset": 0}]
                     )

@@ -135,6 +135,28 @@ def test_widths_array_honored():
     assert float(b_[1]) == 3.0 and float(b_[3]) == 10.0  # + 700/1000 * 10
 
 
+def test_fuzz_never_raises_unexpected():
+    """Sentinel totality at the parser level: arbitrary bytes and mutated valid
+    PDFs either parse or raise PdfParseError/zlib.error — never anything else
+    (the Spark wrapper maps exactly those to the error sentinel)."""
+    import random
+
+    rng = random.Random(20260816)
+    base = make_pdf([f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()], flate=True)
+    for trial in range(200):
+        if trial % 2 == 0:
+            data = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400)))
+        else:
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 12)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            data = bytes(b)
+        try:
+            pdf_to_pdf_chars_payloads(data)
+        except (PdfParseError, zlib.error):
+            pass  # expected failure modes; anything else propagates and fails
+
+
 def test_garbage_raises_and_becomes_sentinel():
     with pytest.raises(PdfParseError):
         pdf_to_pdf_chars_payloads(b"not a pdf at all")
