@@ -14,8 +14,9 @@ extraction core — graded alongside SURVEY.md §2):
                           q_token_count_bpe
   deduplication           q_dedup_exact, q_minhash_signatures, q_minhash_lsh_pairs,
                           q_ngram_jaccard_pairs (exact verify over LSH candidates),
-                          q_simhash, q_fingerprint_modp (rolling-hash mod-p),
-                          q_dedup_embedding_cosine
+                          q_dedup_clusters (connected components → keeper per
+                          cluster), q_simhash, q_fingerprint_modp (rolling-hash
+                          mod-p), q_dedup_embedding_cosine
   similarity search       q_embedding_topk (brute-force cosine top-k baseline),
                           q_ann_lsh_bucketed (banded random-hyperplane LSH),
                           q_ann_ivf_flat (coarse-quantizer cells + nprobe search)
@@ -588,6 +589,69 @@ FROM cand JOIN tg a ON cand.doc_a = a.doc_id
           JOIN tg b ON cand.doc_b = b.doc_id
 WHERE ROUND(LEN(list_intersect(a.tg, b.tg)) / LEN(list_distinct(a.tg || b.tg)), 4) >= 0.35
 """
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER RESOLUTION: LSH candidate pairs (est Jaccard ≥ 0.5) are
+    edges; connected components via min-label propagation to fixpoint; each
+    cluster keeps its min doc_id — the decision table a dedup pipeline actually
+    applies (keep iff doc_id == keeper). Iterations are bounded by component
+    DIAMETER (near-dup clusters are shallow); each is one shuffle join. At
+    10^12 docs the same loop runs with the large-star/small-star optimization
+    (Kiveris et al., "Connected Components in MapReduce") — the fixpoint
+    semantics here are identical."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .persist()
+    )
+    while True:
+        prop = (
+            edges.join(labels, edges["doc_a"] == labels["doc_id"])
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(prop, "doc_id", "left")
+            .select("doc_id", F.least("label", F.coalesce("nbr_min", "label")).alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        "doc_id",
+        F.col("label").alias("keeper_doc_id"),
+        "cluster_size",
+        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE cand AS (SELECT doc_a, doc_b FROM ({_sql_lsh_pairs()})),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+          UNION SELECT doc_b, doc_a FROM cand),
+cc(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, cc.label FROM cc JOIN edges e ON cc.node = e.a),
+resolved AS (SELECT node AS doc_id, MIN(label) AS keeper_doc_id FROM cc GROUP BY node),
+sized AS (SELECT keeper_doc_id AS k, COUNT(*) AS cluster_size FROM resolved GROUP BY 1)
+SELECT doc_id, keeper_doc_id, cluster_size, doc_id = keeper_doc_id AS is_keeper
+FROM resolved JOIN sized ON resolved.keeper_doc_id = sized.k
+"""
+
 
 # mod-p fingerprint selection (Manber's "0 mod p" scheme — the public rolling-
 # hash document-fingerprinting baseline; winnowing is the windowed refinement)
@@ -1250,6 +1314,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
     "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_LSH_PAIRS),
     "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
+    "q_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "q_fingerprint_modp": (q_fingerprint_modp, SQL_FINGERPRINT),
     "q_simhash": (q_simhash, SQL_SIMHASH),
     "q_embedding_topk": (q_embedding_topk, SQL_TOPK),
