@@ -207,6 +207,9 @@ def main() -> None:
         t0 = time.monotonic()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.monotonic() - t0, 3)
+        # several queries persist intermediates (signature tables, CC labels);
+        # drop them between queries so storage memory doesn't grow monotonically
+        spark.catalog.clearCache()
     spark.stop()
 
     # --- scaling: identical job + identical input at N and 4N cores, fresh JVMs.

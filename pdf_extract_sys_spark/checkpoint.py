@@ -71,12 +71,25 @@ def _read_table(spark: SparkSession, ref: str) -> DataFrame:
     return spark.read.parquet(ref)
 
 
+_TABLE_MISSING = ("TABLE_OR_VIEW_NOT_FOUND", "Table or view not found")
+
+
 def _write_output(extracted: DataFrame, ref: str) -> None:
     """Idempotent per-partition commit. Parquet: dynamic partition overwrite.
     Iceberg: overwritePartitions() — the same replace-exactly-the-written-
-    partitions contract, with snapshot isolation on top."""
+    partitions contract, with snapshot isolation on top. A first run creates
+    the table (overwritePartitions/append cannot — mirroring the fresh-run
+    tolerance in completed_partitions)."""
     if is_iceberg_ref(ref):
-        extracted.writeTo(ref[len(ICEBERG_PREFIX):]).overwritePartitions()
+        from pyspark.errors import AnalysisException
+
+        tbl = ref[len(ICEBERG_PREFIX):]
+        try:
+            extracted.writeTo(tbl).overwritePartitions()
+        except AnalysisException as e:
+            if not any(m in str(e) for m in _TABLE_MISSING):
+                raise
+            extracted.writeTo(tbl).partitionedBy(F.col("partition_id")).create()
     else:
         (
             extracted.write.mode("overwrite")
@@ -88,7 +101,15 @@ def _write_output(extracted: DataFrame, ref: str) -> None:
 
 def _append_checkpoint(rows_df: DataFrame, ref: str) -> None:
     if is_iceberg_ref(ref):
-        rows_df.writeTo(ref[len(ICEBERG_PREFIX):]).append()
+        from pyspark.errors import AnalysisException
+
+        tbl = ref[len(ICEBERG_PREFIX):]
+        try:
+            rows_df.writeTo(tbl).append()
+        except AnalysisException as e:
+            if not any(m in str(e) for m in _TABLE_MISSING):
+                raise
+            rows_df.writeTo(tbl).create()
     else:
         rows_df.write.mode("append").parquet(ref)
 

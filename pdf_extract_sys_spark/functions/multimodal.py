@@ -57,11 +57,24 @@ FEATURE_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 _NONE_META = (None, None, None, None, None, None)
+_I32_MAX = (1 << 31) - 1
+
+
+def _i32(v):
+    """Header ints are unsigned on disk; a declared dim/rate beyond int32 is
+    garbage from a corrupt blob — degrade that FIELD to None instead of letting
+    an Int32 cast abort the whole job later."""
+    return int(v) if v is not None and 0 <= int(v) <= _I32_MAX else None
 
 
 def sniff_media(b: bytes) -> tuple[str | None, str | None, int | None, int | None, int | None, int | None]:
     """(format, kind, width, height, sample_rate, channels) from container headers
     only — public format specs, no codec libraries. Unknown → all None."""
+    fmt, kind, w, h, sr, ch = _sniff_media_raw(b)
+    return fmt, kind, _i32(w), _i32(h), _i32(sr), _i32(ch)
+
+
+def _sniff_media_raw(b: bytes):
     try:
         if b.startswith(b"\x89PNG\r\n\x1a\n") and len(b) >= 24:
             # IHDR is the first chunk: width/height big-endian uint32 at 16..23

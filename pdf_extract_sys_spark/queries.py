@@ -629,6 +629,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    # labels were materialized by the loop's count() actions, so the edge cache
+    # is no longer needed by the returned (lazy) result
+    edges.unpersist()
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "label").select(
         "doc_id",
@@ -1122,14 +1125,24 @@ _MIN_CHARS = 60  # stay above the searchable threshold deterministically
 
 # Corpus sanitization (identical on both sides): the blind N-word SQL grouping is
 # only equivalent to the real kernel's segmentation when no token can trigger a
-# kernel break/exception rule. Replacing every char outside [A-Za-z ] (enders,
-# newlines, digits) with 'q', then any 'www' run (the url-dot exception looks for
-# a case-insensitive 'www.' tail) with 'qqq', makes that equivalence structural
-# instead of an undocumented assumption about the testdata generator.
-_SANITIZE_SPARK = lambda c: F.regexp_replace(  # noqa: E731
-    F.regexp_replace(c, "[^A-Za-z ]", "q"), "(?i)www", "qqq"
+# kernel break/exception rule AND tokenization is unambiguous. Three steps make
+# that equivalence structural instead of an assumption about the testdata
+# generator: (1) every char outside [A-Za-z ] (enders, newlines, digits) → 'q';
+# (2) any case-insensitive 'www' run (the url-dot exception looks for a 'www.'
+# tail) → 'qqq'; (3) runs of spaces collapsed + edges trimmed, so split(' ')
+# can never produce empty tokens (which regex word-grouping and string_split
+# would otherwise count differently).
+_SANITIZE_SPARK = lambda c: F.trim(  # noqa: E731
+    F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(c, "[^A-Za-z ]", "q"), "(?i)www", "qqq"),
+        " +",
+        " ",
+    )
 )
-_SANITIZE_SQL = "regexp_replace(regexp_replace(text, '[^A-Za-z ]', 'q', 'g'), 'www', 'qqq', 'gi')"
+_SANITIZE_SQL = (
+    "TRIM(regexp_replace(regexp_replace(regexp_replace(text,"
+    " '[^A-Za-z ]', 'q', 'g'), 'www', 'qqq', 'gi'), ' +', ' ', 'g'))"
+)
 
 
 def documents_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,7 +33,6 @@ the unchanged shuffle-free kernel path.
 from __future__ import annotations
 
 import re
-import struct
 import zlib
 
 # ---------------------------------------------------------------------------------
@@ -46,6 +45,8 @@ _MEDIABOX_RE = re.compile(
     rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
 )
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _WIDTHS_RE = re.compile(rb"/Widths\s*\[([^\]]*)\]")
 _FIRSTCHAR_RE = re.compile(rb"/FirstChar\s+(\d+)")
 _BASEFONT_RE = re.compile(rb"/BaseFont\s*/([A-Za-z0-9+#._-]+)")
@@ -62,6 +63,13 @@ class PdfParseError(ValueError):
     pass
 
 
+def _box_floats(m: re.Match) -> tuple[float, float, float, float]:
+    try:
+        return tuple(float(m.group(i)) for i in range(1, 5))
+    except ValueError as e:  # the loose char class admits e.g. '+-+'
+        raise PdfParseError("malformed /MediaBox") from e
+
+
 def _objects(data: bytes) -> dict[int, bytes]:
     objs: dict[int, bytes] = {}
     for m in _OBJ_RE.finditer(data):
@@ -76,8 +84,11 @@ def _stream_data(body: bytes) -> bytes:
     if not m:
         raise PdfParseError("object has no stream")
     # slice by direct /Length when present (binary stream data may contain
-    # bytes that look like the endstream sentinel or trailing whitespace)
-    lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", body)
+    # bytes that look like the endstream sentinel or trailing whitespace).
+    # (?![0-9]) pins the FULL number before the indirect-ref lookahead runs —
+    # otherwise backtracking shrinks (\d+) until the lookahead passes and an
+    # indirect '/Length 10 0 R' is misread as length 1
+    lm = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", body)
     if lm:
         raw = body[m.end() : m.end() + int(lm.group(1))]
     else:
@@ -86,7 +97,10 @@ def _stream_data(body: bytes) -> bytes:
             raise PdfParseError("unterminated stream")
         raw = sm.group(1)
     if b"/FlateDecode" in body:
-        raw = zlib.decompress(raw)
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error as e:
+            raise PdfParseError("corrupt FlateDecode stream") from e
     elif b"/Filter" in body:
         raise PdfParseError("unsupported stream filter")
     return raw
@@ -107,7 +121,10 @@ def _font_widths(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, tuple[
         wm = _WIDTHS_RE.search(body)
         if wm:
             first = int(_FIRSTCHAR_RE.search(body).group(1)) if _FIRSTCHAR_RE.search(body) else 0
-            vals = [int(float(v)) for v in wm.group(1).split()]
+            try:
+                vals = [int(float(v)) for v in wm.group(1).split()]
+            except ValueError as e:
+                raise PdfParseError("non-numeric /Widths entry") from e
             table = {first + i: v for i, v in enumerate(vals)}
         out[b"/" + name] = (default, table)
     return out
@@ -334,7 +351,7 @@ def pdf_to_pdf_chars_payloads(data: bytes) -> list[str]:
         if b"/Type" in body and b"/Pages" in body and b"/Kids" in body:
             m = _MEDIABOX_RE.search(body)
             if m:
-                default_box = tuple(float(m.group(i)) for i in range(1, 5))
+                default_box = _box_floats(m)
             break
 
     pages = []
@@ -348,13 +365,25 @@ def pdf_to_pdf_chars_payloads(data: bytes) -> list[str]:
     payloads = []
     for _num, body in pages:
         m = _MEDIABOX_RE.search(body)
-        box = tuple(float(m.group(i)) for i in range(1, 5)) if m else default_box
+        box = _box_floats(m) if m else default_box
         w, h = box[2] - box[0], box[3] - box[1]
-        cm = _CONTENTS_RE.search(body)
-        if not cm:
-            payloads.append(f"PAGE\t{w:g}\t{h:g}")
-            continue
-        content = _stream_data(objs.get(int(cm.group(1)), b""))
+        # /Contents: bare ref, or the common array form [N 0 R M 0 R ...]
+        # (streams concatenate). A /Contents key we cannot resolve is an ERROR,
+        # never a silent empty page — the contract is sentinel, not data loss.
+        am = _CONTENTS_ARR_RE.search(body)
+        if am:
+            refs = [int(r.group(1)) for r in _REF_RE.finditer(am.group(1))]
+            if not refs:
+                raise PdfParseError("empty /Contents array")
+            content = b"\n".join(_stream_data(objs.get(r, b"")) for r in refs)
+        else:
+            cm = _CONTENTS_RE.search(body)
+            if not cm:
+                if b"/Contents" in body:
+                    raise PdfParseError("unresolvable /Contents entry")
+                payloads.append(f"PAGE\t{w:g}\t{h:g}")
+                continue
+            content = _stream_data(objs.get(int(cm.group(1)), b""))
         fonts = _font_widths(objs, body)
         events = _page_char_events(content, fonts)
         recs = [f"PAGE\t{w:g}\t{h:g}"]

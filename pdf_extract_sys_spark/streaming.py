@@ -66,10 +66,22 @@ def stream_extract(
     corpus = reader.parquet(input_path)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        out = extract_corpus(batch_df, salt_threshold=salt_threshold)
+        # exactly-once: foreachBatch is at-least-once (an epoch replays if the
+        # driver dies between the sink commit and the streaming checkpoint), so
+        # both sinks partition by epoch_id with DYNAMIC overwrite — a replayed
+        # epoch atomically replaces its own partition instead of appending a
+        # duplicate (same discipline as checkpoint.run_extraction)
+        out = extract_corpus(batch_df, salt_threshold=salt_threshold).withColumn(
+            "epoch_id", F.lit(int(epoch_id))
+        )
         out.persist()
         try:
-            out.write.mode("append").parquet(output_path)
+            (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch_id")
+                .parquet(output_path)
+            )
             m = out.agg(
                 F.count("*").alias("docs"),
                 F.coalesce(F.sum("n_spans"), F.lit(0)).alias("spans"),
@@ -78,8 +90,12 @@ def stream_extract(
             ).collect()[0]
             row = [(int(epoch_id), m["docs"], int(m["spans"]), int(m["fails"]),
                     int(m["bytes"]), time.time())]
-            spark.createDataFrame(row, PROGRESS_SCHEMA).write.mode("append").parquet(
-                progress_path
+            (
+                spark.createDataFrame(row, PROGRESS_SCHEMA)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch_id")
+                .parquet(progress_path)
             )
         finally:
             out.unpersist()

@@ -72,6 +72,20 @@ def test_magic_byte_sniffing(spark):
     assert all(out[k]["decode_ok"] for k in ("png-1", "jpg-1", "gif-1", "wav-1", "pdf-1"))
 
 
+def test_corrupt_header_dims_degrade_not_crash(spark):
+    """A PNG declaring width >= 2^31 is garbage, not a reason to abort the job:
+    the oversized field degrades to NULL, the blob still sniffs as png."""
+    import struct
+
+    evil_png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + struct.pack(">II", 0x80000000, 480) + b"\x08\x02\x00\x00\x00")
+    df = spark.createDataFrame([("evil-1", "image", evil_png)], MEDIA_SCHEMA)
+    out = extract_media_features(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["sniffed_format"] == "png" and r["width"] is None and r["height"] == 480
+
+
 def test_strict_mode_marks_decode_seam(spark, media_df):
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         extract_media_features(media_df, strict=True).collect()

@@ -135,6 +135,34 @@ def test_widths_array_honored():
     assert float(b_[1]) == 3.0 and float(b_[3]) == 10.0  # + 700/1000 * 10
 
 
+def test_indirect_length_not_misparsed():
+    """'/Length 10 0 R' (indirect ref) must not be read as length 1 via regex
+    backtracking — the parser falls back to the endstream scan."""
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()
+    pdf = make_pdf([content])
+    pdf = pdf.replace(
+        b"<< /Length " + str(len(content)).encode() + b" >>",
+        b"<< /Length 10 0 R >>",
+    )
+    assert _extract_texts(pdf) == [LONG1]
+
+
+def test_contents_array_form():
+    """'/Contents [N 0 R]' (array form, common in real writers) is resolved;
+    multiple streams concatenate in order."""
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1} {LONG2}) Tj ET".encode()
+    pdf = make_pdf([content])
+    pdf = pdf.replace(b"/Contents 4 0 R", b"/Contents [4 0 R]")
+    assert _extract_texts(pdf) == [LONG1, LONG2]
+
+
+def test_unresolvable_contents_is_error_not_silent_empty_page():
+    pdf = make_pdf([b"BT ET"])
+    pdf = pdf.replace(b"/Contents 4 0 R", b"/Contents null")
+    with pytest.raises(PdfParseError):
+        pdf_to_pdf_chars_payloads(pdf)
+
+
 def test_fuzz_never_raises_unexpected():
     """Sentinel totality at the parser level: arbitrary bytes and mutated valid
     PDFs either parse or raise PdfParseError/zlib.error — never anything else
