@@ -16,7 +16,8 @@ extraction core — graded alongside SURVEY.md §2):
                           q_ngram_jaccard_pairs (exact verify over LSH candidates),
                           q_dedup_clusters (connected components → keeper per
                           cluster), q_simhash, q_fingerprint_modp (rolling-hash
-                          mod-p), q_dedup_embedding_cosine
+                          mod-p), q_fingerprint_winnow (MOSS windowed min),
+                          q_dedup_embedding_cosine
   similarity search       q_embedding_topk (brute-force cosine top-k baseline),
                           q_ann_lsh_bucketed (banded random-hyperplane LSH),
                           q_ann_ivf_flat (coarse-quantizer cells + nprobe search)
@@ -656,8 +657,63 @@ FROM resolved JOIN sized ON resolved.keeper_doc_id = sized.k
 """
 
 
+_WINNOW_W = 8
+
+
+def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS algorithm):
+    the min k-gram hash of every sliding window of 8 positions, deduped — the
+    density-guaranteed refinement of 0-mod-p selection (at least one fingerprint
+    per window). Shuffle-free pure map; window mins via array slices (both
+    engines clamp out-of-range slices identically). At scale the O(n·w) slice
+    form becomes the O(n) monotonic-deque inside mapInArrow; the value-set
+    semantics here are identical."""
+    docs = _t(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(lower) - 4, F.lit(1))),
+        lambda i: lower.substr(i, F.lit(5)),
+    )
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        ).alias("hs"),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("hs") - _WINNOW_W + 1, F.lit(1))),
+        lambda i: F.array_min(F.slice(F.col("hs"), i, _WINNOW_W)),
+    )
+    fp = hashed.select("doc_id", F.array_sort(F.array_distinct(wins)).alias("fp"))
+    return fp.select(
+        "doc_id",
+        F.size("fp").alias("n_fingerprints"),
+        _h56(F.concat_ws(",", "fp")).alias("fingerprint_hash"),
+    )
+
+
+SQL_WINNOW = f"""
+SELECT doc_id,
+       LEN(fp) AS n_fingerprints,
+       {_h56_sql("COALESCE(array_to_string(fp, ','), '')")} AS fingerprint_hash
+FROM (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+           range(1, GREATEST(LEN(hs) - {_WINNOW_W} + 1, 1) + 1),
+           i -> list_min(hs[CAST(i AS INT) : CAST(i AS INT) + {_WINNOW_W} - 1])))) AS fp
+  FROM (
+    SELECT doc_id,
+           list_transform(
+             range(1, GREATEST(LENGTH(text) - 4, 1) + 1),
+             i -> CAST('0x' || SUBSTR(md5(SUBSTR(LOWER(text), CAST(i AS INT), 5)), 1, 8) AS BIGINT)
+           ) AS hs
+    FROM documents))
+"""
+
+
 # mod-p fingerprint selection (Manber's "0 mod p" scheme — the public rolling-
-# hash document-fingerprinting baseline; winnowing is the windowed refinement)
+# hash document-fingerprinting baseline; winnowing above is the windowed,
+# density-guaranteed refinement)
 _FP_MOD = 32
 
 
@@ -1329,6 +1385,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
     "q_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "q_fingerprint_modp": (q_fingerprint_modp, SQL_FINGERPRINT),
+    "q_fingerprint_winnow": (q_fingerprint_winnow, SQL_WINNOW),
     "q_simhash": (q_simhash, SQL_SIMHASH),
     "q_embedding_topk": (q_embedding_topk, SQL_TOPK),
     "q_ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
