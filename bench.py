@@ -100,7 +100,7 @@ def run_extraction_job(spark, corpus_path: str) -> float:
     return time.monotonic() - t0
 
 
-def scale_run(threads: int) -> None:
+def scale_run(threads: int, n_docs: int = SCALING_DOCS) -> None:
     """Subprocess mode: fresh JVM at local[threads]; warmup + one measured run
     (the caller interleaves levels and takes mins — the sandbox's minutes-scale
     performance drift makes same-JVM repetitions less informative than
@@ -108,7 +108,7 @@ def scale_run(threads: int) -> None:
     from pdf_extract_sys_spark.pipeline import extract_corpus
 
     spark = make_session(threads, shuffle=max(8, 2 * threads), pin_jvm_cores=True)
-    path = ensure_corpus(SCALING_DOCS)
+    path = ensure_corpus(n_docs)
     # warm EVERY python worker (per-worker numpy/pyarrow imports dominate cold
     # cost) on a tiny synthetic slice spread across all task slots
     from pdf_extract_sys_spark import corpus as C
@@ -181,9 +181,10 @@ def kernel_scaling(passes: int = 4) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale-run", type=int, default=None, help="internal")
+    ap.add_argument("--docs", type=int, default=SCALING_DOCS, help="internal")
     args = ap.parse_args()
     if args.scale_run:
-        scale_run(args.scale_run)
+        scale_run(args.scale_run, args.docs)
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -194,22 +195,49 @@ def main() -> None:
     spark = make_session(cpus, shuffle=2 * cpus)
     corpus_path = ensure_corpus(n_docs)
 
-    # --- headline: extraction throughput -------------------------------------
-    run_extraction_job(spark, corpus_path)  # warmup (worker startup, JIT)
-    extract_sec = min(run_extraction_job(spark, corpus_path) for _ in range(N_RUNS))
+    def subprocess_sample(threads: int, docs: int) -> float:
+        out = subprocess.run(
+            [sys.executable, str(HERE / "bench.py"), "--scale-run", str(threads),
+             "--docs", str(docs)],
+            capture_output=True, text=True, env=dict(os.environ), timeout=3600,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        return json.loads(line)["sec"]
+
+    # --- headline: extraction throughput. Each of the N runs is a FRESH JVM
+    # subprocess (r2 VERDICT #1b): the sandbox's bandwidth drift is minutes-
+    # scale, so N same-JVM runs share one drift window and their min can sit
+    # entirely in a slow (or fast) regime — fresh interleaved processes spread
+    # the samples across windows.
+    extract_sec = min(subprocess_sample(cpus, n_docs) for _ in range(N_RUNS))
     docs_per_sec = n_docs / extract_sec
 
     # --- registry queries on the driver-provided tables ----------------------
+    from pdf_extract_sys_spark import queries as Q
     from pdf_extract_sys_spark.queries import REGISTRY
 
+    run_extraction_job(spark, corpus_path)  # warm python workers / JIT
+
+    QUERY_RUNS = 3  # per-query time = min of 3 (r2 VERDICT #1a: single shots
+    # under 2-5x jitter produced a phantom 5x regression in BENCH_r02)
     qtimes: dict[str, float] = {}
     for name, (fn, _sql) in REGISTRY.items():
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        qtimes[name] = round(time.monotonic() - t0, 3)
-        # several queries persist intermediates (signature tables, CC labels);
-        # drop them between queries so storage memory doesn't grow monotonically
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(QUERY_RUNS):
+            if name == "q_minhash_lsh_pairs":
+                # measure the candidate pipeline COLD each run; downstream
+                # queries (ngram/clusters) then reuse the memoized pairs —
+                # the suite's one-signature-computation accounting charges
+                # the shared upstream to this query
+                Q._LSH_CAND_CACHE.clear()
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+            # drop persisted intermediates (CC labels etc.) so storage memory
+            # doesn't grow monotonically; the memoized candidate-pairs
+            # checkpoint intentionally survives (it is the shared upstream)
+            spark.catalog.clearCache()
+        qtimes[name] = round(best, 3)
     spark.stop()
 
     # --- scaling: identical job + identical input at N and 4N cores, fresh JVMs.
@@ -220,12 +248,7 @@ def main() -> None:
     n_scale = SCALING_DOCS
 
     def sample(threads: int) -> float:
-        out = subprocess.run(
-            [sys.executable, str(HERE / "bench.py"), "--scale-run", str(threads)],
-            capture_output=True, text=True, env=dict(os.environ), timeout=3600,
-        )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        return json.loads(line)["sec"]
+        return subprocess_sample(threads, SCALING_DOCS)
 
     # gate pair: ADJACENT interleaved samples, median of per-pass ratios.
     # This sandbox's dominant noise is MULTIPLICATIVE memory-bandwidth drift on
@@ -235,20 +258,21 @@ def main() -> None:
     # didn't). Back-to-back samples share the drift factor, which cancels in
     # each pass's T1/T4 ratio; the median over passes then rejects the residual
     # burst noise. Order alternates per pass to cancel order effects.
-    MIN_PASSES, MAX_PASSES = 5, 9
+    # FIXED pass count (r2 VERDICT #1c): sampling until the gate passes is
+    # optional stopping — it conditions the reported median on having just
+    # crossed 0.8 and biases it upward. Every pass runs; the median is over
+    # all of them.
+    GATE_PASSES = 5
     t1s: list[float] = []
     t4s: list[float] = []
-    gate_ratios: list[float] = []
-    for _pass in range(MAX_PASSES):
+    for _pass in range(GATE_PASSES):
         order = (1, 4) if _pass % 2 == 0 else (4, 1)
         res = {}
         for threads in order:
             res[threads] = sample(threads)
         t1s.append(res[1])
         t4s.append(res[4])
-        gate_ratios = [(a / b) / 4.0 for a, b in zip(t1s, t4s)]
-        if _pass + 1 >= MIN_PASSES and _median(gate_ratios) >= 0.8:
-            break
+    gate_ratios = [(a / b) / 4.0 for a, b in zip(t1s, t4s)]
     scaling: dict[int, float] = {1: min(t1s), 4: min(t4s)}
     efficiency_raw = _median(gate_ratios)
     efficiency = min(efficiency_raw, 1.0)
@@ -293,8 +317,11 @@ def main() -> None:
     (bench_dir / "BASELINE.md").write_text(
         f"""# BENCH — measured results (deterministic corpus, seed={SEED})
 
-Environment: local[{cpus}] single JVM, {os.cpu_count()} host cores. Every number is
-min of {N_RUNS} runs (this sandbox shows 2-5x memory-bandwidth jitter run-to-run).
+Environment: local[{cpus}], {os.cpu_count()} host cores. Headline = min of {N_RUNS}
+runs, each a FRESH JVM subprocess (the sandbox's 2-5x bandwidth drift is
+minutes-scale — same-JVM repeats share one drift window); registry queries =
+min of 3 runs each; scaling gate = fixed {len(gate_ratios)} passes, no optional
+stopping.
 
 ## Headline: end-to-end span extraction (full pipeline incl. mega-doc salting)
 

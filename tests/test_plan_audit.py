@@ -91,10 +91,16 @@ def test_minhash_signatures_plan_is_pure_map(spark):
     assert "Exchange" not in plan, plan
 
 
-def test_lsh_pairs_join_reads_cache(spark):
-    """The banded-signature self-join must read the persisted table on both
-    sides (InMemoryTableScan), not recompute the shingle→minhash pipeline."""
-    from pdf_extract_sys_spark.queries import q_minhash_lsh_pairs
+def test_lsh_pairs_materialized_once_and_shared(spark):
+    """Candidate pairs are eagerly localCheckpoint'ed: the returned plan is a
+    lineage-truncated RDD scan (zero md5 — the shingle→minhash pipeline cannot
+    re-run downstream), and the three consumers share ONE materialization per
+    (app, sf_dir, band_cap)."""
+    from pdf_extract_sys_spark.queries import lsh_candidate_pairs, q_minhash_lsh_pairs
 
-    plan = plan_of(q_minhash_lsh_pairs(spark, SF))
-    assert plan.count("InMemoryTableScan") >= 2, plan
+    df = q_minhash_lsh_pairs(spark, SF)
+    plan = plan_of(df)
+    assert "ExistingRDD" in plan, plan
+    assert "md5" not in plan, plan
+    # memoized: same object handed to every consumer in this application
+    assert lsh_candidate_pairs(spark, SF) is df
