@@ -4,8 +4,11 @@ The Spark-side plumbing is REAL and tested — schema, Arrow batch shape,
 `mapInPandas` signature, partition-size control — and so is container-format
 SNIFFING: magic-byte detection plus header-level dimension/audio parsing for
 PNG / JPEG / GIF / BMP / WAV / MP4 / WEBP / PDF, implemented from the public
-format specs with no codec libraries. The pixel/sample DECODE step remains a
-clearly-marked stub (no image/audio libraries in this container): by default a
+format specs with no codec libraries. Pixel/sample DECODE is REAL for the
+codec-free formats — uncompressed BI_RGB BMP pixel arrays and PCM WAV samples
+decode with struct+numpy alone and produce real statistical features
+(`real_decode=True`). For genuinely codec-bound formats (JPEG entropy coding,
+MP4/OGG/FLAC codecs) the decode step remains a clearly-marked stub: by default a
 deterministic fake featureizer; `strict=True` raises NotImplementedError exactly
 where a real decoder (PIL / torchaudio / pyav) would plug in.
 
@@ -51,6 +54,9 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("channels", T.IntegerType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), False),  # 16-dim
         T.StructField("decode_ok", T.BooleanType(), False),
+        # True iff `feature` came from REAL decoded pixels/samples (BMP/WAV —
+        # the codec-free formats); False means the deterministic stand-in
+        T.StructField("real_decode", T.BooleanType(), False),
     ]
 )
 
@@ -90,6 +96,11 @@ def _sniff_media_raw(b: bytes):
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2
                     continue
+                if marker in (0xDA, 0xD9):
+                    # SOS/EOI: past here is entropy-coded data where stuffed
+                    # 0xFF pairs would read as markers with garbage seglens —
+                    # a spurious SOFn there reports garbage dimensions
+                    break
                 seglen = struct.unpack(">H", b[i + 2 : i + 4])[0]
                 if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -137,6 +148,79 @@ def _sniff_media_raw(b: bytes):
     return _NONE_META
 
 
+def _decode_bmp(b: bytes) -> np.ndarray | None:
+    """REAL pixel decode for uncompressed BI_RGB BMP (8/24/32 bpp) — needs only
+    struct+numpy, no codec library (public BITMAPINFOHEADER layout). Returns
+    channel values normalized to [0,1] in row-major top-down order, or None if
+    the blob isn't a decodable BMP variant."""
+    try:
+        if not b.startswith(b"BM") or len(b) < 54:
+            return None
+        data_off = struct.unpack_from("<I", b, 10)[0]
+        hdr_size = struct.unpack_from("<I", b, 14)[0]
+        if hdr_size < 40:  # BITMAPCOREHEADER et al.: out of scope
+            return None
+        w, h = struct.unpack_from("<ii", b, 18)
+        bpp = struct.unpack_from("<H", b, 28)[0]
+        compression = struct.unpack_from("<I", b, 30)[0]
+        if compression != 0 or bpp not in (8, 24, 32) or w <= 0 or w > 1 << 20:
+            return None
+        top_down = h < 0
+        h = abs(h)
+        if h == 0 or h > 1 << 20:
+            return None
+        stride = ((bpp * w + 31) // 32) * 4
+        need = data_off + stride * h
+        if need > len(b):
+            return None
+        raw = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=data_off)
+        rows = raw.reshape(h, stride)[:, : (bpp // 8) * w]
+        if not top_down:
+            rows = rows[::-1]
+        return np.ascontiguousarray(rows).astype(np.float32).ravel() / 255.0
+    except (struct.error, ValueError):
+        return None
+
+
+def _decode_wav(b: bytes) -> np.ndarray | None:
+    """REAL sample decode for PCM WAV (8/16-bit, format tag 1) — struct+numpy
+    only. Returns samples normalized to [-1,1], or None for non-PCM/compressed
+    WAV."""
+    try:
+        if not (b.startswith(b"RIFF") and b[8:12] == b"WAVE"):
+            return None
+        fmt_tag = bits = None
+        data = None
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            clen = struct.unpack_from("<I", b, i + 4)[0]
+            if cid == b"fmt " and i + 8 + 16 <= len(b):
+                fmt_tag, _ch, _sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", b, i + 8)
+            elif cid == b"data":
+                data = b[i + 8 : i + 8 + clen]
+            i += 8 + clen + (clen & 1)
+        if fmt_tag != 1 or data is None or not len(data):
+            return None
+        if bits == 16:
+            return np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(np.float32) / 32768.0
+        if bits == 8:
+            return (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        return None
+    except (struct.error, ValueError):
+        return None
+
+
+def _real_feature(vals: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    """16-dim feature from REAL decoded values: [mean, std, min, max] rescaled
+    to [0,1] over the domain [lo,hi], then a 12-bin density histogram."""
+    span = hi - lo
+    stats = (np.array([vals.mean(), vals.std(), vals.min(), vals.max()]) - lo) / span
+    hist, _ = np.histogram(vals, bins=FEATURE_DIM - 4, range=(lo, hi))
+    hist = hist.astype(np.float64) / max(len(vals), 1)
+    return np.clip(np.concatenate([stats, hist]), 0.0, 1.0).astype(np.float32)
+
+
 def _fake_decode_features(content: pd.Series) -> pd.DataFrame:
     """Deterministic stand-in for the pixel/sample decode→feature step (REAL
     decode goes here: e.g. PIL.Image.open for images, resample+spectrogram for
@@ -158,39 +242,58 @@ def extract_media_features(media: DataFrame, *, strict: bool = False) -> DataFra
 
     Container sniffing (format/kind/dims/audio params) is real and always runs;
     `decode_ok` is True iff the magic bytes identified a known container.
-    strict=True raises NotImplementedError at the pixel/sample decode step — the
-    marked seam where a real codec stack plugs in.
+    BMP pixel arrays and PCM WAV samples are REALLY decoded (struct+numpy) and
+    featureized from actual values (`real_decode=True`); other formats get the
+    deterministic stand-in. strict=True raises NotImplementedError at the
+    pixel/sample decode step for codec-bound formats — the marked seam where a
+    real codec stack plugs in.
     """
 
     def featureize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
-            if strict:
-                raise NotImplementedError(
-                    "real media decode requires an image/audio codec stack "
-                    "(PIL/pyav/torchaudio) not present in this environment"
-                )
             meta = pd.DataFrame(
                 (sniff_media(bytes(b)) for b in pdf["content"]),
                 columns=["sniffed_format", "sniffed_kind", "width", "height",
                          "sample_rate", "channels"],
             )
-            fx = _fake_decode_features(pdf["content"])
+            fake = _fake_decode_features(pdf["content"])
+            feats, real = [], []
+            for blob, fmt, fake_f in zip(pdf["content"], meta["sniffed_format"], fake["feature"]):
+                vals = dom = None
+                if fmt == "bmp":
+                    vals, dom = _decode_bmp(bytes(blob)), (0.0, 1.0)
+                elif fmt == "wav":
+                    vals, dom = _decode_wav(bytes(blob)), (-1.0, 1.0)
+                if vals is not None and len(vals):
+                    feats.append(_real_feature(vals, *dom))
+                    real.append(True)
+                else:
+                    if strict:
+                        raise NotImplementedError(
+                            f"real media decode for format={fmt!r} requires an "
+                            "image/audio codec stack (PIL/pyav/torchaudio) not "
+                            "present in this environment (only BMP pixel arrays "
+                            "and PCM WAV are codec-free)"
+                        )
+                    feats.append(fake_f)
+                    real.append(False)
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"].to_numpy(),
                     "media_kind": pdf["media_kind"].to_numpy(),
                     "n_bytes": pdf["content"].map(len).astype(np.int64).to_numpy(),
-                    "content_sha1": fx["content_sha1"].to_numpy(),
+                    "content_sha1": fake["content_sha1"].to_numpy(),
                     "sniffed_format": meta["sniffed_format"].to_numpy(),
                     "sniffed_kind": meta["sniffed_kind"].to_numpy(),
                     "width": meta["width"].astype("Int32").to_numpy(na_value=None, dtype=object),
                     "height": meta["height"].astype("Int32").to_numpy(na_value=None, dtype=object),
                     "sample_rate": meta["sample_rate"].astype("Int32").to_numpy(na_value=None, dtype=object),
                     "channels": meta["channels"].astype("Int32").to_numpy(na_value=None, dtype=object),
-                    "feature": fx["feature"].map(list).to_numpy(),
+                    "feature": [list(f) for f in feats],
                     "decode_ok": meta["sniffed_format"].notna().to_numpy(),
+                    "real_decode": np.array(real, dtype=bool),
                 }
             )
 

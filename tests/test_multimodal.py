@@ -86,6 +86,77 @@ def test_corrupt_header_dims_degrade_not_crash(spark):
     assert r["sniffed_format"] == "png" and r["width"] is None and r["height"] == 480
 
 
+def _bmp_bytes(w=4, h=2, bpp=24, px=None):
+    import struct
+
+    stride = ((bpp * w + 31) // 32) * 4
+    rows = bytearray()
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            v = px(x, y) if px else ((x * 40) % 256, (y * 90) % 256, 128)
+            row += bytes(v[: bpp // 8]) + (b"\xff" if bpp == 32 else b"")
+        row += b"\x00" * (stride - len(row))
+        rows += row
+    data_off = 14 + 40
+    size = data_off + len(rows)
+    return (b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(rows), 2835, 2835, 0, 0)
+            + bytes(rows))
+
+
+def _wav_bytes(samples, rate=8000):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_real_bmp_decode(spark):
+    """BMP pixels decode for real (struct+numpy): feature = actual pixel stats,
+    real_decode=True. An all-white image must have mean=1, std=0."""
+    white = _bmp_bytes(4, 2, 24, px=lambda x, y: (255, 255, 255))
+    df = spark.createDataFrame([("bmp-1", "image", white)], MEDIA_SCHEMA)
+    r = extract_media_features(df).collect()[0]
+    assert (r["sniffed_format"], r["width"], r["height"]) == ("bmp", 4, 2)
+    assert r["real_decode"] is True and r["decode_ok"] is True
+    f = r["feature"]
+    assert abs(f[0] - 1.0) < 1e-6  # mean of normalized pixels
+    assert abs(f[1] - 0.0) < 1e-6  # std
+    assert abs(f[FEATURE_DIM - 1] - 1.0) < 1e-6  # all mass in the top bin
+
+
+def test_real_wav_decode(spark):
+    """PCM WAV samples decode for real: a constant half-scale signal has
+    mean≈0.5 in [-1,1] → 0.75 after rescale to [0,1]."""
+    wav = _wav_bytes([16384] * 1000)
+    df = spark.createDataFrame([("wav-9", "audio", wav)], MEDIA_SCHEMA)
+    r = extract_media_features(df).collect()[0]
+    assert (r["sniffed_format"], r["sample_rate"], r["channels"]) == ("wav", 8000, 1)
+    assert r["real_decode"] is True
+    assert abs(r["feature"][0] - 0.75) < 1e-3
+    # strict mode ACCEPTS codec-free formats — the seam is only for codec-bound
+    assert extract_media_features(df, strict=True).collect()[0]["real_decode"] is True
+
+
+def test_jpeg_walk_stops_at_sos(spark):
+    """Entropy-coded data after SOS must not be scanned for markers: a stuffed
+    0xFF pair followed by SOFn-looking bytes would report garbage dimensions."""
+    import struct
+
+    jpeg = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 9999, 9999))
+    from pdf_extract_sys_spark.functions.multimodal import sniff_media
+
+    fmt, kind, w, h, _, _ = sniff_media(jpeg)
+    assert (fmt, kind) == ("jpeg", "image")
+    assert w is None and h is None  # no SOFn before SOS → unknown, not garbage
+
+
 def test_strict_mode_marks_decode_seam(spark, media_df):
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         extract_media_features(media_df, strict=True).collect()
