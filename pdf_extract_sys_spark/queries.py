@@ -715,14 +715,43 @@ FROM resolved JOIN sized ON resolved.keeper_doc_id = sized.k
 _WINNOW_W = 8
 
 
+def _winnow_mins_batch(hs: "pd.Series", w: int):
+    """Sorted-distinct sliding-window-of-w mins per row, O(n) per doc via the
+    two-pass block prefix/suffix-min method (the vectorized equivalent of the
+    monotonic deque: split into blocks of w, prefix-min L and suffix-min R
+    within blocks, window min at i = min(R[i], L[i+w-1]))."""
+    import numpy as np
+
+    out = []
+    for arr in hs:
+        a = np.asarray(arr, dtype=np.int64)
+        m = len(a)
+        if m <= w:
+            out.append(np.array([a.min()]) if m else np.array([], dtype=np.int64))
+            continue
+        nb = -(-m // w)
+        pad = np.full(nb * w, np.iinfo(np.int64).max, dtype=np.int64)
+        pad[:m] = a
+        blocks = pad.reshape(nb, w)
+        L = np.minimum.accumulate(blocks, axis=1).ravel()
+        R = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
+        k = m - w + 1
+        out.append(np.unique(np.minimum(R[:k], L[w - 1 : w - 1 + k])))
+    return out
+
+
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS algorithm):
     the min k-gram hash of every sliding window of 8 positions, deduped — the
     density-guaranteed refinement of 0-mod-p selection (at least one fingerprint
-    per window). Shuffle-free pure map; window mins via array slices (both
-    engines clamp out-of-range slices identically). At scale the O(n·w) slice
-    form becomes the O(n) monotonic-deque inside mapInArrow; the value-set
-    semantics here are identical."""
+    per window). Shuffle-free pure map, split JVM/Arrow at the right seam:
+    shingle hashing stays in Catalyst (hash-once md5, JVM-side, bit-identical
+    to the oracle), the window-min runs at its REAL complexity — O(n) per doc
+    via vectorized block prefix/suffix mins inside mapInArrow (r2 VERDICT #8;
+    the r2 array-slice form was a constant-factor-8 O(n·w)) — and the final
+    set hash returns to Catalyst so md5 semantics never leave the JVM."""
+    import pyarrow as pa
+
     docs = _t(spark, sf_dir, "documents")
     lower = F.lower(F.col("text"))
     shingles = F.transform(
@@ -735,11 +764,20 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
         ).alias("hs"),
     )
-    wins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("hs") - _WINNOW_W + 1, F.lit(1))),
-        lambda i: F.array_min(F.slice(F.col("hs"), i, _WINNOW_W)),
-    )
-    fp = hashed.select("doc_id", F.array_sort(F.array_distinct(wins)).alias("fp"))
+
+    def window_mins(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            pdf = batch.to_pandas()
+            fps = _winnow_mins_batch(pdf["hs"], _WINNOW_W)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(pdf["doc_id"], type=batch.schema.field("doc_id").type),
+                 pa.array([f.tolist() for f in fps], type=pa.list_(pa.int64()))],
+                names=["doc_id", "fp"],
+            )
+
+    fp = hashed.mapInArrow(window_mins, "doc_id long, fp array<long>")
     return fp.select(
         "doc_id",
         F.size("fp").alias("n_fingerprints"),

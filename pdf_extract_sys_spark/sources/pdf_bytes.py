@@ -9,20 +9,36 @@ by implementing the decode step from the PUBLIC PDF 1.x spec — no pdfium, no
 external libraries (FlateDecode is stdlib zlib).
 
 Supported surface (documented, honest):
-  * object scanning without xref (tolerant of linearized/append-updated files);
-  * /Type /Page objects, /MediaBox inherited from /Pages when absent;
+  * object scanning without xref (tolerant of linearized/append-updated files,
+    and MORE robust than xref-offset walking for damaged files — the same
+    "rebuild" fallback pdfium applies); indirect /Length references resolved;
+  * compressed OBJECT STREAMS (/Type /ObjStm, PDF ≥1.5): inflated and their
+    member objects joined into the object map, so post-2005 writers that put
+    page/font dicts inside ObjStm decode instead of sentineling. Explicit
+    xref-stream offset parsing is unnecessary under scan-based discovery: the
+    ObjStm containers themselves are top-level `N 0 obj` objects the scan finds;
+  * /Type /Page objects in /Pages-tree /Kids order (the document's real page
+    order — object-number order only as a fallback when the tree is absent or
+    cyclic); /MediaBox inherited from /Pages when absent;
   * /Contents streams, direct or via reference, plain or /FlateDecode;
   * text operators: BT/ET, Tf, Td, TD, TL, T*, Tm, Tj, TJ (with kerning
-    adjustments), ' (next-line-show); () strings with escapes and <> hex strings;
-  * char advance from a built-in width table: the 14 standard fonts' metrics are
-    public (Courier fixed 600/1000; Helvetica/Times default via average width).
-    Embedded-font /Widths arrays are honored when present on the font dict.
+    adjustments), ' and " (next-line-show); () strings with escapes and <> hex
+    strings;
+  * simple-font decode: Latin-1 byte strings, /WinAnsiEncoding (CP1252) base
+    encodings, and /Encoding /Differences arrays (AGL glyph-name subset +
+    /uniXXXX names); char advance from /Widths + /FirstChar when present, else
+    a built-in standard-14 metric (Courier fixed 600/1000, flat average
+    otherwise);
+  * composite Type0/CID fonts with /Identity-H: 2-byte CID show strings,
+    /DescendantFonts /W width arrays with /DW default, and /ToUnicode CMaps
+    (bfchar + bfrange, incl. array-form ranges) for codepoint mapping.
 
-Out of scope (the marked seam, mirroring the multimodal codec stub): CID/Type0
-composite fonts, encodings beyond Latin-1/WinAnsi byte strings, rotation
-matrices with shear (only translation + uniform scale of Tm are applied to
-positions). A PDF outside this surface degrades per doc to the standard error
-sentinel — the job never aborts (sentinel contract, main.py:361-372).
+Out of scope (the marked seam, mirroring the multimodal codec stub): non-
+Identity CMap encodings (CJK ordering CMaps are codec-grade tables), stream
+filters beyond FlateDecode, and rotation matrices with shear (only translation
++ uniform scale of Tm are applied to positions). A PDF outside this surface
+degrades per doc to the standard error sentinel — the job never aborts
+(sentinel contract, main.py:361-372).
 
 Spark integration: ``pdf_binary_to_corpus`` maps a (doc_id, pdf binary) frame to
 the corpus schema via mapInPandas (Arrow-batched; per-blob parsing is inherent
@@ -76,10 +92,11 @@ def _objects(data: bytes) -> dict[int, bytes]:
         objs[int(m.group(1))] = m.group(2)
     if not objs:
         raise PdfParseError("no PDF objects found")
+    _expand_object_streams(objs)
     return objs
 
 
-def _stream_data(body: bytes) -> bytes:
+def _stream_data(body: bytes, objs: dict[int, bytes] | None = None) -> bytes:
     m = re.search(rb"stream\r?\n", body)
     if not m:
         raise PdfParseError("object has no stream")
@@ -89,9 +106,17 @@ def _stream_data(body: bytes) -> bytes:
     # otherwise backtracking shrinks (\d+) until the lookahead passes and an
     # indirect '/Length 10 0 R' is misread as length 1
     lm = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", body)
+    raw = None
     if lm:
         raw = body[m.end() : m.end() + int(lm.group(1))]
-    else:
+    elif objs is not None:
+        # indirect /Length — common in generator output alongside ObjStm
+        im = re.search(rb"/Length\s+(\d+)\s+\d+\s+R", body)
+        if im:
+            lref = objs.get(int(im.group(1)), b"").strip()
+            if re.fullmatch(rb"\d+", lref):
+                raw = body[m.end() : m.end() + int(lref)]
+    if raw is None:
         sm = _STREAM_RE.search(body)
         if not sm:
             raise PdfParseError("unterminated stream")
@@ -106,27 +131,254 @@ def _stream_data(body: bytes) -> bytes:
     return raw
 
 
-def _font_widths(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, tuple[int, dict[int, int]]]:
-    """font resource name → (default_width, per-charcode widths) in 1/1000 em."""
-    out: dict[bytes, tuple[int, dict[int, int]]] = {}
-    for m in _FONTREF_RE.finditer(page_body):
+_OBJSTM_MAX_N = 50_000  # header sanity cap — a hostile /N can't balloon memory
+
+
+def _expand_object_streams(objs: dict[int, bytes]) -> None:
+    """Inflate every /Type /ObjStm container and add its member objects to the
+    map (PDF 1.5 compressed object streams — where post-2005 writers keep page,
+    font and catalog dicts). The stream layout is public spec: /N pairs of
+    'objnum offset' ints, then the serialized objects starting at /First.
+    Members never overwrite top-level objects (incremental updates append
+    replacements at top level, which the scan already prefers)."""
+    for num in list(objs):
+        body = objs[num]
+        if not re.search(rb"/Type\s*/ObjStm\b", body):
+            continue
+        data = _stream_data(body, objs)
+        nm = re.search(rb"/N\s+(\d+)", body)
+        fm = re.search(rb"/First\s+(\d+)", body)
+        if not (nm and fm):
+            raise PdfParseError("ObjStm missing /N or /First")
+        n, first = int(nm.group(1)), int(fm.group(1))
+        if n > _OBJSTM_MAX_N or first > len(data):
+            raise PdfParseError("implausible ObjStm header")
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            raise PdfParseError("short ObjStm header")
+        try:
+            nums = [int(header[2 * i]) for i in range(n)]
+            offs = [int(header[2 * i + 1]) for i in range(n)]
+        except ValueError as e:
+            raise PdfParseError("non-numeric ObjStm header") from e
+        for i, (onum, off) in enumerate(zip(nums, offs)):
+            end = first + offs[i + 1] if i + 1 < n else len(data)
+            objs.setdefault(onum, data[first + off : end])
+
+
+# AGL (Adobe Glyph List) subset for /Differences arrays: punctuation, digits,
+# and the common Latin accents. Letters a-z/A-Z are their own glyph names.
+# /uniXXXX and /nn ordinal names are handled programmatically.
+_GLYPH_NAMES = {
+    b"space": 0x20, b"exclam": 0x21, b"quotedbl": 0x22, b"numbersign": 0x23,
+    b"dollar": 0x24, b"percent": 0x25, b"ampersand": 0x26, b"quotesingle": 0x27,
+    b"parenleft": 0x28, b"parenright": 0x29, b"asterisk": 0x2A, b"plus": 0x2B,
+    b"comma": 0x2C, b"hyphen": 0x2D, b"period": 0x2E, b"slash": 0x2F,
+    b"zero": 0x30, b"one": 0x31, b"two": 0x32, b"three": 0x33, b"four": 0x34,
+    b"five": 0x35, b"six": 0x36, b"seven": 0x37, b"eight": 0x38, b"nine": 0x39,
+    b"colon": 0x3A, b"semicolon": 0x3B, b"less": 0x3C, b"equal": 0x3D,
+    b"greater": 0x3E, b"question": 0x3F, b"at": 0x40, b"bracketleft": 0x5B,
+    b"backslash": 0x5C, b"bracketright": 0x5D, b"asciicircum": 0x5E,
+    b"underscore": 0x5F, b"grave": 0x60, b"braceleft": 0x7B, b"bar": 0x7C,
+    b"braceright": 0x7D, b"asciitilde": 0x7E,
+    b"agrave": 0xE0, b"aacute": 0xE1, b"acircumflex": 0xE2, b"adieresis": 0xE4,
+    b"ccedilla": 0xE7, b"egrave": 0xE8, b"eacute": 0xE9, b"ecircumflex": 0xEA,
+    b"edieresis": 0xEB, b"igrave": 0xEC, b"iacute": 0xED, b"idieresis": 0xEF,
+    b"ntilde": 0xF1, b"ograve": 0xF2, b"oacute": 0xF3, b"ocircumflex": 0xF4,
+    b"odieresis": 0xF6, b"ugrave": 0xF9, b"uacute": 0xFA, b"udieresis": 0xFC,
+    b"Agrave": 0xC0, b"Aacute": 0xC1, b"Adieresis": 0xC4, b"Ccedilla": 0xC7,
+    b"Egrave": 0xC8, b"Eacute": 0xC9, b"Ntilde": 0xD1, b"Odieresis": 0xD6,
+    b"Udieresis": 0xDC, b"germandbls": 0xDF, b"oslash": 0xF8, b"Oslash": 0xD8,
+    b"aring": 0xE5, b"Aring": 0xC5, b"ae": 0xE6, b"AE": 0xC6,
+    b"bullet": 0x2022, b"emdash": 0x2014, b"endash": 0x2013,
+    b"quoteleft": 0x2018, b"quoteright": 0x2019, b"quotedblleft": 0x201C,
+    b"quotedblright": 0x201D, b"ellipsis": 0x2026, b"Euro": 0x20AC,
+    b"degree": 0xB0, b"sterling": 0xA3, b"yen": 0xA5, b"copyright": 0xA9,
+    b"registered": 0xAE, b"trademark": 0x2122, b"dagger": 0x2020,
+    b"daggerdbl": 0x2021, b"section": 0xA7, b"paragraph": 0xB6,
+}
+
+
+def _glyph_to_cp(name: bytes) -> int | None:
+    if len(name) == 1 and (0x41 <= name[0] <= 0x5A or 0x61 <= name[0] <= 0x7A):
+        return name[0]
+    if name in _GLYPH_NAMES:
+        return _GLYPH_NAMES[name]
+    m = re.fullmatch(rb"uni([0-9A-Fa-f]{4})", name)
+    if m:
+        return int(m.group(1), 16)
+    m = re.fullmatch(rb"g?(\d{1,5})", name)  # ordinal fallback (subset fonts)
+    if m:
+        return int(m.group(1))
+    return None
+
+
+# WinAnsi (CP1252) differs from Latin-1 only in 0x80-0x9F; undefined CP1252
+# bytes keep their Latin-1 value (degrade, don't drop)
+_CP1252_HIGH = {
+    0x80: 0x20AC, 0x82: 0x201A, 0x83: 0x0192, 0x84: 0x201E, 0x85: 0x2026,
+    0x86: 0x2020, 0x87: 0x2021, 0x88: 0x02C6, 0x89: 0x2030, 0x8A: 0x0160,
+    0x8B: 0x2039, 0x8C: 0x0152, 0x8E: 0x017D, 0x91: 0x2018, 0x92: 0x2019,
+    0x93: 0x201C, 0x94: 0x201D, 0x95: 0x2022, 0x96: 0x2013, 0x97: 0x2014,
+    0x98: 0x02DC, 0x99: 0x2122, 0x9A: 0x0161, 0x9B: 0x203A, 0x9C: 0x0153,
+    0x9E: 0x017E, 0x9F: 0x0178,
+}
+
+_DIFF_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
+_TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_DESCFONT_RE = re.compile(rb"/DescendantFonts\s*(?:\[\s*(\d+)\s+\d+\s+R|\s+(\d+)\s+\d+\s+R)")
+_CIDW_RE = re.compile(rb"/W\s*\[(.*?)\]\s*(?:/|>>)", re.S)
+_DW_RE = re.compile(rb"/DW\s+(\d+)")
+
+
+def _parse_differences(s: bytes) -> dict[int, int]:
+    """/Differences [ code /name /name code /name ... ] → charcode→codepoint."""
+    out: dict[int, int] = {}
+    code = 0
+    for tok in re.finditer(rb"(\d+)|/([A-Za-z0-9#._-]+)", s):
+        if tok.group(1) is not None:
+            code = int(tok.group(1))
+        else:
+            cp = _glyph_to_cp(tok.group(2))
+            if cp is not None:
+                out[code] = cp
+            code += 1
+    return out
+
+
+def _parse_tounicode(data: bytes) -> dict[int, int]:
+    """ToUnicode CMap → src code → unicode codepoint. bfchar pairs plus both
+    bfrange forms (<lo> <hi> <dst> and <lo> <hi> [<d0> <d1> ...]). Multi-unit
+    UTF-16 targets take the first unit (surrogate pairs out of scope)."""
+    out: dict[int, int] = {}
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for pm in re.finditer(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)):
+            out[int(pm.group(1), 16)] = int(pm.group(2)[:4], 16)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for pm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]", m.group(1), re.S
+        ):
+            lo = int(pm.group(1), 16)
+            for i, d in enumerate(re.findall(rb"<([0-9A-Fa-f]+)>", pm.group(3))):
+                out[lo + i] = int(d[:4], 16)
+        for pm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
+        ):
+            lo, hi = int(pm.group(1), 16), int(pm.group(2), 16)
+            if hi - lo > 0x10000:
+                raise PdfParseError("implausible bfrange span")
+            dst = int(pm.group(3)[:4], 16)
+            for c in range(lo, hi + 1):
+                out.setdefault(c, dst + (c - lo))
+    return out
+
+
+def _parse_cid_widths(s: bytes) -> dict[int, int]:
+    """CIDFont /W array: 'c [w0 w1 ...]' runs and 'c1 c2 w' ranges → cid→width."""
+    toks = re.findall(rb"\[|\]|-?\d+(?:\.\d+)?", s)
+    out: dict[int, int] = {}
+    i = 0
+    while i < len(toks):
+        if toks[i] in (b"[", b"]"):
+            i += 1
+            continue
+        c = int(float(toks[i]))
+        if i + 1 < len(toks) and toks[i + 1] == b"[":
+            j = i + 2
+            while j < len(toks) and toks[j] != b"]":
+                out[c] = int(float(toks[j]))
+                c += 1
+                j += 1
+            i = j + 1
+        elif i + 2 < len(toks):
+            c2, w = int(float(toks[i + 1])), int(float(toks[i + 2]))
+            if c2 - c > 0x10000:
+                raise PdfParseError("implausible /W range")
+            for cc in range(c, c2 + 1):
+                out[cc] = w
+            i += 3
+        else:
+            break
+    return out
+
+
+class _Font:
+    """Resolved per-font decode/metric state for the interpreter."""
+
+    __slots__ = ("cid", "default_w", "widths", "decode")
+
+    def __init__(self, cid: bool, default_w: int, widths: dict[int, int],
+                 decode: dict[int, int] | None):
+        self.cid = cid  # 2-byte CID show strings (Type0/Identity-H)
+        self.default_w = default_w
+        self.widths = widths
+        self.decode = decode  # charcode→codepoint overrides; None = identity
+
+
+_DEFAULT_FONT = _Font(False, _DEFAULT_WIDTH, {}, None)
+
+
+def _simple_widths(body: bytes) -> tuple[int, dict[int, int]]:
+    default = _DEFAULT_WIDTH
+    bf = _BASEFONT_RE.search(body)
+    if bf:
+        base = bf.group(1).split(b"+")[-1].split(b"-")[0]
+        default = _FIXED_WIDTHS.get(base, _DEFAULT_WIDTH)
+    table: dict[int, int] = {}
+    wm = _WIDTHS_RE.search(body)
+    if wm:
+        first = int(_FIRSTCHAR_RE.search(body).group(1)) if _FIRSTCHAR_RE.search(body) else 0
+        try:
+            vals = [int(float(v)) for v in wm.group(1).split()]
+        except ValueError as e:
+            raise PdfParseError("non-numeric /Widths entry") from e
+        table = {first + i: v for i, v in enumerate(vals)}
+    return default, table
+
+
+def _build_font(objs: dict[int, bytes], body: bytes) -> _Font:
+    if re.search(rb"/Subtype\s*/Type0\b", body):
+        enc = re.search(rb"/Encoding\s*/([A-Za-z0-9-]+)", body)
+        if enc and enc.group(1) not in (b"Identity-H",):
+            raise PdfParseError("unsupported Type0 CMap encoding")
+        dm = _DESCFONT_RE.search(body)
+        desc = objs.get(int(dm.group(1) or dm.group(2)), b"") if dm else b""
+        dwm = _DW_RE.search(desc)
+        default = int(dwm.group(1)) if dwm else 1000
+        wm = _CIDW_RE.search(desc)
+        widths = _parse_cid_widths(wm.group(1)) if wm else {}
+        tum = _TOUNI_RE.search(body)
+        decode = _parse_tounicode(_stream_data(objs.get(int(tum.group(1)), b""), objs)) if tum else None
+        return _Font(True, default, widths, decode)
+    default, widths = _simple_widths(body)
+    decode: dict[int, int] | None = None
+    if b"/WinAnsiEncoding" in body:
+        decode = dict(_CP1252_HIGH)
+    # /Encoding dict with /Differences — direct or via reference
+    enc_body = body
+    em = re.search(rb"/Encoding\s+(\d+)\s+\d+\s+R", body)
+    if em:
+        enc_body = objs.get(int(em.group(1)), b"")
+        if b"/WinAnsiEncoding" in enc_body and decode is None:
+            decode = dict(_CP1252_HIGH)
+    dm = _DIFF_RE.search(enc_body)
+    if dm:
+        decode = dict(decode or {})
+        decode.update(_parse_differences(dm.group(1)))
+    return _Font(False, default, widths, decode)
+
+
+def _fonts(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, _Font]:
+    """font resource name → _Font, from the page body or its (possibly
+    indirect) /Resources dictionary."""
+    search = page_body
+    rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", page_body)
+    if rm:
+        search = page_body + b"\n" + objs.get(int(rm.group(1)), b"")
+    out: dict[bytes, _Font] = {}
+    for m in _FONTREF_RE.finditer(search):
         name, ref = m.group(1), int(m.group(2))
-        body = objs.get(ref, b"")
-        default = _DEFAULT_WIDTH
-        bf = _BASEFONT_RE.search(body)
-        if bf:
-            base = bf.group(1).split(b"+")[-1].split(b"-")[0]
-            default = _FIXED_WIDTHS.get(base, _DEFAULT_WIDTH)
-        table: dict[int, int] = {}
-        wm = _WIDTHS_RE.search(body)
-        if wm:
-            first = int(_FIRSTCHAR_RE.search(body).group(1)) if _FIRSTCHAR_RE.search(body) else 0
-            try:
-                vals = [int(float(v)) for v in wm.group(1).split()]
-            except ValueError as e:
-                raise PdfParseError("non-numeric /Widths entry") from e
-            table = {first + i: v for i, v in enumerate(vals)}
-        out[b"/" + name] = (default, table)
+        out[b"/" + name] = _build_font(objs, objs.get(ref, b""))
     return out
 
 
@@ -224,12 +476,12 @@ def _tokenize(stream: bytes):
             yield t  # name or operator, as bytes
 
 
-def _page_char_events(content: bytes, fonts: dict[bytes, tuple[int, dict[int, int]]]):
+def _page_char_events(content: bytes, fonts: dict[bytes, _Font]):
     """Execute the text-positioning subset of the content stream; yield
     (codepoint, x0, y0, x1, y1) per shown char, in show order (PDF points,
     bottom-left origin — the FIXTURES.md pdf_chars contract)."""
     size = 12.0
-    default_w, widths = _DEFAULT_WIDTH, {}
+    font = _DEFAULT_FONT
     leading = 0.0
     # text matrix: only translation (e, f) and uniform scale (a) are applied
     tm_a = 1.0
@@ -243,9 +495,16 @@ def _page_char_events(content: bytes, fonts: dict[bytes, tuple[int, dict[int, in
 
     def show(sb: bytes) -> None:
         nonlocal x
-        for code in sb:
-            w = widths.get(code, default_w) / 1000.0 * size * tm_a
-            events.append((code, x, y, x + w, y + size * tm_a))
+        if font.cid:
+            # Identity-H: 2-byte big-endian CIDs (odd trailing byte dropped)
+            codes = [(sb[j] << 8) | sb[j + 1] for j in range(0, len(sb) - 1, 2)]
+        else:
+            codes = list(sb)
+        dec = font.decode
+        for code in codes:
+            w = font.widths.get(code, font.default_w) / 1000.0 * size * tm_a
+            cp = dec.get(code, code) if dec is not None else code
+            events.append((cp, x, y, x + w, y + size * tm_a))
             x += w
 
     def newline() -> None:
@@ -275,7 +534,7 @@ def _page_char_events(content: bytes, fonts: dict[bytes, tuple[int, dict[int, in
             if op == b"Tf":
                 size = float(stack[-1])
                 fname = stack[-2]
-                default_w, widths = fonts.get(fname, (_DEFAULT_WIDTH, {}))
+                font = fonts.get(fname, _DEFAULT_FONT)
                 stack.clear()
             elif op == b"Td":
                 ty, tx = float(stack[-1]), float(stack[-2])
@@ -318,6 +577,13 @@ def _page_char_events(content: bytes, fonts: dict[bytes, tuple[int, dict[int, in
                 kind, sb = stack[-1]
                 show(sb)
                 stack.clear()
+            elif op == b'"':
+                # aw ac string " — word/char spacing set then next-line-show;
+                # the spacing operands are ignored (uniform-advance surface)
+                newline()
+                kind, sb = stack[-1]
+                show(sb)
+                stack.clear()
             elif op == b"TJ":
                 arr = stack[-1]
                 for item in arr:
@@ -338,10 +604,54 @@ def _page_char_events(content: bytes, fonts: dict[bytes, tuple[int, dict[int, in
 # ---------------------------------------------------------------------------------
 
 
+_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
+
+
+def _page_order(objs: dict[int, bytes]) -> list[int] | None:
+    """Document page order from the /Pages tree's /Kids arrays (ADVICE r2:
+    object-number order is wrong whenever /Kids order differs — incremental
+    updates, many generators). Root = the /Catalog's /Pages ref, else any
+    /Pages node without /Parent. Returns None when no tree resolves (caller
+    falls back to object-number order). Iterative walk with a cycle guard —
+    hostile Kids graphs terminate."""
+    root = None
+    for body in objs.values():
+        if re.search(rb"/Type\s*/Catalog\b", body):
+            pm = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", body)
+            if pm:
+                root = int(pm.group(1))
+                break
+    if root is None:
+        for num, body in objs.items():
+            if re.search(rb"/Type\s*/Pages\b", body) and b"/Parent" not in body:
+                root = num
+                break
+    if root is None:
+        return None
+    order: list[int] = []
+    seen: set[int] = set()
+    stack = [root]
+    while stack:
+        num = stack.pop()
+        if num in seen:
+            continue
+        seen.add(num)
+        body = objs.get(num, b"")
+        if re.search(rb"/Type\s*/Pages\b", body):
+            km = _KIDS_RE.search(body)
+            if km:
+                kids = [int(r.group(1)) for r in _REF_RE.finditer(km.group(1))]
+                stack.extend(reversed(kids))  # preserve Kids order (LIFO stack)
+        elif re.search(rb"/Type\s*/Page\b", body):
+            order.append(num)
+    return order or None
+
+
 def pdf_to_pdf_chars_payloads(data: bytes) -> list[str]:
     """PDF bytes → one FIXTURES.md `pdf_chars` payload string per page, in
-    document page order. Raises PdfParseError on anything outside the supported
-    surface (callers map that to the error sentinel)."""
+    document page order (the /Pages tree's /Kids order; object-number order
+    only when no tree resolves). Raises PdfParseError on anything outside the
+    supported surface (callers map that to the error sentinel)."""
     if not data.startswith(b"%PDF-"):
         raise PdfParseError("missing %PDF header")
     objs = _objects(data)
@@ -354,11 +664,15 @@ def pdf_to_pdf_chars_payloads(data: bytes) -> list[str]:
                 default_box = _box_floats(m)
             break
 
-    pages = []
-    for num in sorted(objs):
-        body = objs[num]
-        if re.search(rb"/Type\s*/Page\b", body) and b"/Kids" not in body:
-            pages.append((num, body))
+    ordered = _page_order(objs)
+    if ordered is not None:
+        pages = [(num, objs[num]) for num in ordered]
+    else:
+        pages = []
+        for num in sorted(objs):
+            body = objs[num]
+            if re.search(rb"/Type\s*/Page\b", body) and b"/Kids" not in body:
+                pages.append((num, body))
     if not pages:
         raise PdfParseError("no /Type /Page objects")
 
@@ -375,7 +689,7 @@ def pdf_to_pdf_chars_payloads(data: bytes) -> list[str]:
             refs = [int(r.group(1)) for r in _REF_RE.finditer(am.group(1))]
             if not refs:
                 raise PdfParseError("empty /Contents array")
-            content = b"\n".join(_stream_data(objs.get(r, b"")) for r in refs)
+            content = b"\n".join(_stream_data(objs.get(r, b""), objs) for r in refs)
         else:
             cm = _CONTENTS_RE.search(body)
             if not cm:
@@ -383,8 +697,8 @@ def pdf_to_pdf_chars_payloads(data: bytes) -> list[str]:
                     raise PdfParseError("unresolvable /Contents entry")
                 payloads.append(f"PAGE\t{w:g}\t{h:g}")
                 continue
-            content = _stream_data(objs.get(int(cm.group(1)), b""))
-        fonts = _font_widths(objs, body)
+            content = _stream_data(objs.get(int(cm.group(1)), b""), objs)
+        fonts = _fonts(objs, body)
         events = _page_char_events(content, fonts)
         recs = [f"PAGE\t{w:g}\t{h:g}"]
         for code, x0, y0, x1, y1 in events:

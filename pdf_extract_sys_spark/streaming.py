@@ -119,6 +119,7 @@ SESSION_OUTPUT_SCHEMA = T.StructType(
         T.StructField("user_id", T.LongType(), False),
         T.StructField("n_sessions", T.LongType(), False),
         T.StructField("n_events", T.LongType(), False),
+        T.StructField("n_late", T.LongType(), False),
     ]
 )
 
@@ -127,6 +128,7 @@ SESSION_STATE_SCHEMA = T.StructType(
         T.StructField("last_us", T.LongType(), False),
         T.StructField("n_sessions", T.LongType(), False),
         T.StructField("n_events", T.LongType(), False),
+        T.StructField("n_late", T.LongType(), False),
     ]
 )
 
@@ -134,19 +136,26 @@ SESSION_STATE_SCHEMA = T.StructType(
 def sessionize_events_stream(events: DataFrame) -> DataFrame:
     """Custom STATEFUL streaming operator (applyInPandasWithState): 30-min-gap
     sessionization of an event stream, per user. State carries (last event
-    micro-epoch, session count, event count) across micro-batches; each batch's
-    events are sorted by (ts, event_id) inside the group and folded into the
-    state vectorized (numpy gap mask — only the batch-boundary gap needs the
-    carried state). Emits the updated per-user totals every batch ("update"
-    semantics — the streaming analogue of q_sessionize_events, whose batch
-    result it must reproduce when events arrive in event-time order)."""
+    micro-epoch, session count, event count, late count) across micro-batches;
+    each batch's events are sorted by (ts, event_id) inside the group and folded
+    into the state vectorized (numpy gap mask — only the batch-boundary gap
+    needs the carried state). Emits the updated per-user totals every batch
+    ("update" semantics — the streaming analogue of q_sessionize_events, whose
+    batch result it must reproduce when events arrive in event-time order).
+
+    Out-of-order arrival across batches (r2 VERDICT #7): an event with
+    event-time older than the carried `last_us` cannot be folded into the gap
+    math without rewriting closed sessions — it is EXCLUDED from sessionization
+    and counted explicitly in `n_late` (detect-and-count; the alternative,
+    buffering a watermark horizon in state, trades state size for replay).
+    Within a batch, sorting makes order irrelevant."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fold(key, pdfs, state: GroupState):
         import numpy as np
         import pandas as pd  # closure ships by value; worker needs its own import
 
-        last_us, n_sess, n_ev = state.get if state.exists else (None, 0, 0)
+        last_us, n_sess, n_ev, n_late = state.get if state.exists else (None, 0, 0, 0)
         parts = [p[["ts", "event_id"]] for p in pdfs if len(p)]
         if parts:
             batch = pd.concat(parts).sort_values(["ts", "event_id"], kind="stable")
@@ -154,18 +163,25 @@ def sessionize_events_stream(events: DataFrame) -> DataFrame:
             # pandas datetime64[ns/us] → micro-epochs
             unit = batch["ts"].dtype
             us = us // 1000 if str(unit).endswith("[ns]") else us
-            prev = np.empty_like(us)
-            prev[1:] = us[:-1]
-            prev[0] = last_us if last_us is not None else us[0]
-            new_sess = (us - prev) > SESSION_GAP_US
-            if last_us is None:
-                new_sess[0] = True  # a user's very first event opens a session
-            n_sess += int(new_sess.sum())
-            n_ev += len(us)
-            last_us = int(us[-1])
-            state.update((last_us, n_sess, n_ev))
+            if last_us is not None:
+                late = us < last_us  # older than the last folded event: late
+                n_late += int(late.sum())
+                us = us[~late]
+            if len(us):
+                prev = np.empty_like(us)
+                prev[1:] = us[:-1]
+                prev[0] = last_us if last_us is not None else us[0]
+                new_sess = (us - prev) > SESSION_GAP_US
+                if last_us is None:
+                    new_sess[0] = True  # a user's very first event opens a session
+                n_sess += int(new_sess.sum())
+                n_ev += len(us)
+                last_us = int(us[-1])
+            if last_us is not None:
+                state.update((last_us, n_sess, n_ev, n_late))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_sessions": [n_sess], "n_events": [n_ev]}
+            {"user_id": [key[0]], "n_sessions": [n_sess], "n_events": [n_ev],
+             "n_late": [n_late]}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(

@@ -134,6 +134,41 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_sessionize_out_of_order_events_counted_late(spark, tmp_path):
+    """One user's events split across two drains OUT of event-time order: the
+    second batch delivers events OLDER than the first batch's last event. They
+    must not corrupt the gap math (silently inflating/deflating sessions) —
+    they are excluded and surfaced in n_late (r2 VERDICT #7)."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    in_dir, out_dir, cp = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "cp")
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    mins = lambda m: t0 + pd.Timedelta(minutes=m)  # noqa: E731
+    # batch 1: events at 0 and 10 min (one session)
+    b1 = pd.DataFrame({"user_id": [7, 7], "event_id": [1, 2],
+                       "ts": [mins(0), mins(10)], "event_type": ["a", "a"]})
+    # batch 2: a LATE event at 5 min (older than last_us=10min) plus an
+    # in-order event 40 min later (gap > 30 min → second session)
+    b2 = pd.DataFrame({"user_id": [7, 7], "event_id": [3, 4],
+                       "ts": [mins(5), mins(50)], "event_type": ["a", "a"]})
+    spark.createDataFrame(b1).write.mode("append").parquet(in_dir)
+    _drain_sessionize(spark, in_dir, out_dir, cp)
+    spark.createDataFrame(b2).write.mode("append").parquet(in_dir)
+    _drain_sessionize(spark, in_dir, out_dir, cp)
+
+    w = Window.partitionBy("user_id").orderBy(F.col("epoch").desc())
+    final = (
+        spark.read.parquet(out_dir)
+        .withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+        .collect()
+    )[0]
+    assert final["n_sessions"] == 2  # 0/10min session + 50min session
+    assert final["n_events"] == 3  # the late event is excluded, not misfolded
+    assert final["n_late"] == 1  # and explicitly surfaced
+
+
 def test_windowed_counts_with_watermark(spark, tmp_path):
     """Event-time windowed agg + watermark (complete mode to a memory sink)
     equals the batch window aggregation."""
