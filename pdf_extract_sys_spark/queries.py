@@ -28,7 +28,9 @@ extraction core — graded alongside SURVEY.md §2):
                           `documents`, oracled by a SQL re-derivation;
                           q_extract_html — the boilerplate-strip kernel over
                           derived html pages (nav/footer dropped, <img> emitted
-                          as an interleaved media span)
+                          as an interleaved media span);
+                          q_extract_dedup — extract THEN MinHash-LSH dedup over
+                          the extracted span text (the real pipeline composition)
 
 Portable deterministic 56-bit hash used on both sides:
   Spark:  conv(substr(md5(x), 1, 14), 16, 10)::long
@@ -404,25 +406,15 @@ def _mh_coeffs(k: int) -> tuple[int, int]:
     return a, b
 
 
-def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (k=8) over char-5-gram shingles — the scale path for
-    near-dup detection (shingle→minhash; banding in q_minhash_lsh_pairs).
-
-    100 TB form: SHUFFLE-FREE and hash-once. Shingles stay an ARRAY inside one
-    projection (transform + array_min instead of explode + groupBy-min ⇒ a pure
-    map, no exchange anywhere), each shingle is md5-hashed ONCE to a 32-bit int,
-    and the k minima derive from k affine permutations (a_k*h+b_k mod 2^61-1) —
-    integer-exact on both engines, 8× less md5 than hashing per (shingle, k).
-    The hashed array is materialized in its own projection; CollapseProject keeps
-    it (an expensive alias used k times is not inlined), so md5 runs once.
-    """
-    docs = _t(spark, sf_dir, "documents")
+def _minhash_sigs(df: DataFrame) -> DataFrame:
+    """MinHash signatures (k=8) over char-5-gram shingles of any (doc_id, text)
+    frame — shared by the `documents` query and the extract→dedup composition."""
     lower = F.lower(F.col("text"))
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(lower) - 4, F.lit(1))),
         lambda i: lower.substr(i, F.lit(5)),
     )
-    hashed = docs.select(
+    hashed = df.select(
         "doc_id",
         F.transform(
             shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
@@ -440,7 +432,22 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.select("doc_id", *mins)
 
 
-def _sql_minhash_sigs() -> str:
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8) over char-5-gram shingles — the scale path for
+    near-dup detection (shingle→minhash; banding in q_minhash_lsh_pairs).
+
+    100 TB form: SHUFFLE-FREE and hash-once. Shingles stay an ARRAY inside one
+    projection (transform + array_min instead of explode + groupBy-min ⇒ a pure
+    map, no exchange anywhere), each shingle is md5-hashed ONCE to a 32-bit int,
+    and the k minima derive from k affine permutations (a_k*h+b_k mod 2^61-1) —
+    integer-exact on both engines, 8× less md5 than hashing per (shingle, k).
+    The hashed array is materialized in its own projection; CollapseProject keeps
+    it (an expensive alias used k times is not inlined), so md5 runs once.
+    """
+    return _minhash_sigs(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def _sql_minhash_sigs(src: str = "documents") -> str:
     mins = ",\n    ".join(
         "list_min(list_transform(hs, h -> ({a} * h + {b}) % {p})) AS h{k}".format(
             a=_mh_coeffs(k)[0], b=_mh_coeffs(k)[1], p=_MH_P, k=k
@@ -456,7 +463,7 @@ FROM (
            range(1, GREATEST(LENGTH(text) - 4, 1) + 1),
            i -> CAST('0x' || SUBSTR(md5(SUBSTR(LOWER(text), CAST(i AS INT), 5)), 1, 8) AS BIGINT)
          ) AS hs
-  FROM documents)
+  FROM {src})
 """
 
 
@@ -497,6 +504,17 @@ def lsh_candidate_pairs(
     if got is not None:
         return got
     sigs = q_minhash_signatures(spark, sf_dir)
+    out = _lsh_pairs_materialized(sigs, band_cap)
+    while len(_LSH_CAND_CACHE) >= _LSH_CAND_CACHE_MAX:
+        _LSH_CAND_CACHE.pop(next(iter(_LSH_CAND_CACHE)))
+    _LSH_CAND_CACHE[key] = out
+    return out
+
+
+def _lsh_pairs_materialized(sigs: DataFrame, band_cap: int) -> DataFrame:
+    """Band the signatures, self-join within bands (hot-band keeper guard),
+    estimate Jaccard, filter ≥ 0.5 — eagerly materialized via localCheckpoint;
+    the banded cache lives only for the duration of the self-join."""
     b0 = _h56(F.concat_ws(",", "h0", "h1", "h2", "h3"))
     b1 = _h56(F.concat_ws(",", "h4", "h5", "h6", "h7"))
     banded = sigs.select(
@@ -537,9 +555,6 @@ def lsh_candidate_pairs(
         .localCheckpoint(eager=True)
     )
     counted.unpersist()
-    while len(_LSH_CAND_CACHE) >= _LSH_CAND_CACHE_MAX:
-        _LSH_CAND_CACHE.pop(next(iter(_LSH_CAND_CACHE)))
-    _LSH_CAND_CACHE[key] = out
     return out
 
 
@@ -551,10 +566,10 @@ def q_minhash_lsh_pairs(
     return lsh_candidate_pairs(spark, sf_dir, band_cap)
 
 
-def _sql_lsh_pairs(band_cap: int = _LSH_BAND_CAP) -> str:
+def _sql_lsh_pairs(band_cap: int = _LSH_BAND_CAP, src: str = "documents") -> str:
     eqs = " + ".join(f"CASE WHEN a.h{k} = b.h{k} THEN 1 ELSE 0 END" for k in range(_MINHASH_K))
     return f"""
-WITH sigs AS ({_sql_minhash_sigs()}),
+WITH sigs AS ({_sql_minhash_sigs(src)}),
 banded AS (
   SELECT doc_id, h0,h1,h2,h3,h4,h5,h6,h7, band FROM (
     SELECT *, {_h56_sql("h0 || ',' || h1 || ',' || h2 || ',' || h3")} AS band FROM sigs
@@ -1402,6 +1417,36 @@ FROM w
 """
 
 
+def q_extract_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual training-data-pipeline COMPOSITION (r2 VERDICT #9): run the
+    REAL extraction pipeline (mapInArrow kernels) and then MinHash-LSH near-dup
+    detection over the EXTRACTED span text — extract → dedup end-to-end in one
+    plan, not dedup over the raw `documents` table. Per-doc text = the doc's
+    span texts in reading order; signatures/banding/guards are the shared
+    hash-once machinery. Oracled by the same SQL chain over the re-derived
+    corpus."""
+    from .pipeline import extract_corpus
+
+    corpus = documents_to_corpus(spark, sf_dir).persist()
+    texts = extract_corpus(corpus).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array_join(F.transform("spans", lambda s: s["text"]), " ").alias("text"),
+    )
+    pairs = _lsh_pairs_materialized(_minhash_sigs(texts), _LSH_BAND_CAP)
+    corpus.unpersist()  # pairs are eagerly materialized; the corpus cache is done
+    return pairs
+
+
+SQL_EXTRACT_DEDUP = f"""
+WITH corpus AS (
+  SELECT doc_id, STRING_AGG(span_text, ' ' ORDER BY span_offset) AS text
+  FROM ({SQL_EXTRACT}) GROUP BY doc_id)
+SELECT * FROM (
+{_sql_lsh_pairs(src="corpus")}
+)
+"""
+
+
 def q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END html extraction through the real boilerplate-stripping kernel:
     each document is wrapped (pure Catalyst string concat, no UDF) into an html
@@ -1492,4 +1537,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_media_meta": (q_media_meta, SQL_MEDIA_META),
     "q_extract_sentences": (q_extract_sentences, SQL_EXTRACT),
     "q_extract_html": (q_extract_html, SQL_EXTRACT_HTML),
+    "q_extract_dedup": (q_extract_dedup, SQL_EXTRACT_DEDUP),
 }

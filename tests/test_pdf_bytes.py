@@ -185,6 +185,26 @@ def test_fuzz_never_raises_unexpected():
             pass  # expected failure modes; anything else propagates and fails
 
 
+def test_image_only_pdf_yields_zero_spans_not_sentinel():
+    """A scanned (image-only) PDF parses fine — its pages just have no text
+    operators — and produces ZERO spans: not an error sentinel, and (no raster
+    stack in this container) not OCR output. README documents this boundary;
+    tesseract would plug in at the decode seam adjacent to extract.py:148."""
+    # a page whose content stream only paints an XObject (no BT/ET text)
+    content = b"q 612 0 0 792 0 0 cm /Im1 Do Q"
+    pdf = make_pdf([content])
+    payloads = pdf_to_pdf_chars_payloads(pdf)
+    assert len(payloads) == 1 and payloads[0] == "PAGE\t612\t792"
+    doc = pd.DataFrame(
+        {"doc_id": ["scan1"],
+         "spans": [[{"kind": "pdf_chars", "text": payloads[0], "media_ref": None,
+                     "offset": 0}]]}
+    )
+    out = extract_batch_pandas(doc)
+    assert len(out.iloc[0]["spans"]) == 0  # zero spans
+    assert not out.iloc[0]["parse_failed"]  # and NOT a sentinel
+
+
 def test_garbage_raises_and_becomes_sentinel():
     with pytest.raises(PdfParseError):
         pdf_to_pdf_chars_payloads(b"not a pdf at all")

@@ -153,6 +153,29 @@ def test_quote_dquote_operators():
     assert _extract_texts(make_pdf([content])) == [LONG1, LONG2]
 
 
+def test_fuzz_modern_surface_sentinel_totality():
+    """Mutated ObjStm and Type0 fixtures either parse or raise PdfParseError /
+    zlib.error — never anything else (the Spark wrapper maps exactly those to
+    the error sentinel)."""
+    import random
+
+    from pdf_extract_sys_spark.sources.pdf_bytes import PdfParseError
+
+    rng = random.Random(20260817)
+    bases = [
+        make_pdf_objstm(f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()),
+        make_pdf_type0(LONG1),
+    ]
+    for trial in range(150):
+        b = bytearray(bases[trial % 2])
+        for _ in range(rng.randrange(1, 12)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            pdf_to_pdf_chars_payloads(bytes(b))
+        except (PdfParseError, zlib.error):
+            pass  # expected failure modes; anything else propagates and fails
+
+
 def test_objstm_spark_e2e(spark):
     from pdf_extract_sys_spark.pipeline import extract_corpus
     from pdf_extract_sys_spark.sources.pdf_bytes import pdf_binary_to_corpus
