@@ -296,7 +296,7 @@ def main() -> None:
             "n_docs": n_docs,
             "docs_per_sec": round(docs_per_sec, 1),
             "runs": N_RUNS,
-            "aggregation": "min",
+            "aggregation": "min of fresh-JVM subprocess runs",
         },
         "scaling": {
             "n_docs": n_scale,
