@@ -50,8 +50,17 @@ def corpus_docs(sf: float) -> int:
 
 # the scaling comparison always uses a fixed-size slice big enough that compute
 # dominates fixed stage latency at both parallelism levels ("identical job +
-# identical input at two levels" — BASELINE.md)
+# identical input at two levels" — BASELINE.md). The full curve (8/32) uses the
+# large slice; the GATE pair uses a shorter one: this sandbox's bandwidth drift
+# STEPS on a ~minute scale, so each gate sample must be short enough that a
+# whole A-B-A pass sits inside one drift plateau (~25 s at local[1]), with MORE
+# passes feeding the median instead of longer ones. Fixed stage overhead at the
+# short length penalizes the 4-thread side relatively more, so any bias is
+# toward UNDERstating efficiency — conservative.
 SCALING_DOCS = 128_000
+GATE_DOCS = 32_000
+# gate slice keeps the large slice's mega-doc CADENCE (same job, smaller)
+GATE_MEGA = max(250, SCALING_DOCS // 40)
 
 
 def make_session(threads: int, shuffle: int, pin_jvm_cores: bool = False):
@@ -78,13 +87,20 @@ def make_session(threads: int, shuffle: int, pin_jvm_cores: bool = False):
     return spark
 
 
-def ensure_corpus(n: int) -> str:
-    path = HERE / ".bench" / f"corpus_{n}_{SEED}"
+def ensure_corpus(n: int, mega_every: int | None = None) -> str:
+    """Deterministic corpus cache. Default mega-doc cadence is n//40 (a fixed
+    COUNT of 40 mega docs at any n — the headline/large-slice shape). The gate
+    passes a cadence explicitly so the short slice keeps the SAME mega DENSITY
+    as the large slice (otherwise the short corpus is 4x mega-heavy and the
+    samples aren't 'the same job, smaller')."""
+    mega = mega_every if mega_every is not None else max(250, n // 40)
+    suffix = "" if mega_every is None else f"_m{mega}"
+    path = HERE / ".bench" / f"corpus_{n}{suffix}_{SEED}"
     if not (path / "_SUCCESS").exists():
         from pdf_extract_sys_spark import corpus as C
         from pdf_extract_sys_spark.corpus import write_corpus_parquet
 
-        pdf = C.generate_corpus(n, seed=SEED, mega_doc_every=max(250, n // 40),
+        pdf = C.generate_corpus(n, seed=SEED, mega_doc_every=mega,
                                 mega_doc_pages=300)
         write_corpus_parquet(pdf, str(path), n_files=64)
     return str(path)
@@ -100,7 +116,8 @@ def run_extraction_job(spark, corpus_path: str) -> float:
     return time.monotonic() - t0
 
 
-def scale_run(threads: int, n_docs: int = SCALING_DOCS) -> None:
+def scale_run(threads: int, n_docs: int = SCALING_DOCS,
+              mega_every: int | None = None) -> None:
     """Subprocess mode: fresh JVM at local[threads]; warmup + one measured run
     (the caller interleaves levels and takes mins — the sandbox's minutes-scale
     performance drift makes same-JVM repetitions less informative than
@@ -108,7 +125,7 @@ def scale_run(threads: int, n_docs: int = SCALING_DOCS) -> None:
     from pdf_extract_sys_spark.pipeline import extract_corpus
 
     spark = make_session(threads, shuffle=max(8, 2 * threads), pin_jvm_cores=True)
-    path = ensure_corpus(n_docs)
+    path = ensure_corpus(n_docs, mega_every)
     # warm EVERY python worker (per-worker numpy/pyarrow imports dominate cold
     # cost) on a tiny synthetic slice spread across all task slots
     from pdf_extract_sys_spark import corpus as C
@@ -118,9 +135,40 @@ def scale_run(threads: int, n_docs: int = SCALING_DOCS) -> None:
         2 * threads
     )
     extract_corpus(warm, salt_threshold=256).write.format("noop").mode("overwrite").save()
+    # warm ONCE with the real job (parquet footers, codegen compile, plan
+    # cache), then measure: the gate compares SCALING, not cold-start fixed
+    # costs — which the short 4-thread samples would otherwise amortize worse
+    # than the 1-thread ones, biasing efficiency down
+    run_extraction_job(spark, path)
     best = run_extraction_job(spark, path)
     spark.stop()
     print(json.dumps({"threads": threads, "sec": best}))
+
+
+def serve(threads: int, n_docs: int, mega_every: int | None) -> None:
+    """Persistent-server mode for the gate: build the session, warm (synthetic
+    workers + one real run), print a ready line, then run one measured job per
+    'go' line on stdin. Keeping BOTH gate levels alive as servers removes the
+    ~25 s JVM start between samples, so the parent can take 2-3x more
+    adjacent-pair ratio samples in the same wall time — the only thing that
+    actually beats this sandbox's step-drift is sample count."""
+    from pdf_extract_sys_spark import corpus as C
+    from pdf_extract_sys_spark.corpus import corpus_to_spark
+    from pdf_extract_sys_spark.pipeline import extract_corpus
+
+    spark = make_session(threads, shuffle=max(8, 2 * threads), pin_jvm_cores=True)
+    path = ensure_corpus(n_docs, mega_every)
+    warm = corpus_to_spark(spark, C.generate_corpus(8 * threads, seed=1)).repartition(
+        2 * threads
+    )
+    extract_corpus(warm, salt_threshold=256).write.format("noop").mode("overwrite").save()
+    run_extraction_job(spark, path)
+    print(json.dumps({"ready": True, "threads": threads}), flush=True)
+    for line in sys.stdin:
+        if line.strip() != "go":
+            break
+        print(json.dumps({"sec": run_extraction_job(spark, path)}), flush=True)
+    spark.stop()
 
 
 def _mp_worker(f: str) -> int:
@@ -142,7 +190,7 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
-def kernel_scaling(passes: int = 4) -> dict:
+def kernel_scaling(passes: int = 7) -> dict:
     """Controlled N→4N experiment without the JVM: the identical extraction
     kernels over the identical corpus files via multiprocessing Pool(1) vs
     Pool(4). Isolates the engine's own scaling from single-VM noise and JVM
@@ -151,24 +199,39 @@ def kernel_scaling(passes: int = 4) -> dict:
 
     Estimator: this sandbox has MULTIPLICATIVE memory-bandwidth drift (2-5×,
     minutes-scale). Independent per-level minima diverge under it (round 1
-    produced an impossible 1.371). Adjacent interleaved samples share the drift
-    factor, so it cancels in the per-pass ratio — the reported efficiency is the
-    MEDIAN of per-pass ratios, with per-level floors kept for reference."""
+    produced an impossible 1.371), and even adjacent pairs corrupt when the
+    drift changes between the pair's two samples. Each pass is A-B-A (outer
+    level sampled twice bracketing the inner), ratio from the geometric mean of
+    the outer pair — first-order drift cancels WITHIN the pass. Reported
+    efficiency is the MEDIAN of per-pass ratios, floors kept for reference."""
     import glob
     import multiprocessing as mp
 
-    path = ensure_corpus(SCALING_DOCS)
+    # short samples (GATE_DOCS, ~1/4 the big slice): each A-B-A pass must fit
+    # inside one drift plateau — same reasoning as the Spark gate
+    path = ensure_corpus(GATE_DOCS, GATE_MEGA)
     files = sorted(glob.glob(f"{path}/part-*.parquet"))
+
+    def one(n: int) -> float:
+        with mp.get_context("spawn").Pool(n) as p:
+            p.map(_mp_worker, files[:n])  # warm imports
+            t0 = time.monotonic()
+            p.map(_mp_worker, files)
+            return time.monotonic() - t0
+
     secs: dict[int, list[float]] = {1: [], 4: []}
+    ratios: list[float] = []
     for p_idx in range(passes):
-        order = (1, 4) if p_idx % 2 == 0 else (4, 1)  # cancel order effects too
-        for n in order:
-            with mp.get_context("spawn").Pool(n) as p:
-                p.map(_mp_worker, files[:n])  # warm imports
-                t0 = time.monotonic()
-                p.map(_mp_worker, files)
-                secs[n].append(time.monotonic() - t0)
-    ratios = [(a / b) / 4.0 for a, b in zip(secs[1], secs[4])]
+        if p_idx % 2 == 0:  # 1-4-1
+            a1, t4, a2 = one(1), one(4), one(1)
+            secs[1] += [a1, a2]
+            secs[4].append(t4)
+            ratios.append(((a1 * a2) ** 0.5 / t4) / 4.0)
+        else:  # 4-1-4
+            b1, t1, b2 = one(4), one(1), one(4)
+            secs[4] += [b1, b2]
+            secs[1].append(t1)
+            ratios.append((t1 / (b1 * b2) ** 0.5) / 4.0)
     return {
         "pool1_sec_min": round(min(secs[1]), 3),
         "pool4_sec_min": round(min(secs[4]), 3),
@@ -182,9 +245,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale-run", type=int, default=None, help="internal")
     ap.add_argument("--docs", type=int, default=SCALING_DOCS, help="internal")
+    ap.add_argument("--mega-every", type=int, default=None, help="internal")
+    ap.add_argument("--serve", type=int, default=None, help="internal")
     args = ap.parse_args()
+    if args.serve:
+        serve(args.serve, args.docs, args.mega_every)
+        return
     if args.scale_run:
-        scale_run(args.scale_run, args.docs)
+        scale_run(args.scale_run, args.docs, args.mega_every)
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -195,11 +263,14 @@ def main() -> None:
     spark = make_session(cpus, shuffle=2 * cpus)
     corpus_path = ensure_corpus(n_docs)
 
-    def subprocess_sample(threads: int, docs: int) -> float:
+    def subprocess_sample(threads: int, docs: int,
+                          mega_every: int | None = None) -> float:
+        cmd = [sys.executable, str(HERE / "bench.py"), "--scale-run", str(threads),
+               "--docs", str(docs)]
+        if mega_every is not None:
+            cmd += ["--mega-every", str(mega_every)]
         out = subprocess.run(
-            [sys.executable, str(HERE / "bench.py"), "--scale-run", str(threads),
-             "--docs", str(docs)],
-            capture_output=True, text=True, env=dict(os.environ), timeout=3600,
+            cmd, capture_output=True, text=True, env=dict(os.environ), timeout=3600,
         )
         line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
         return json.loads(line)["sec"]
@@ -209,7 +280,8 @@ def main() -> None:
     # scale, so N same-JVM runs share one drift window and their min can sit
     # entirely in a slow (or fast) regime — fresh interleaved processes spread
     # the samples across windows.
-    extract_sec = min(subprocess_sample(cpus, n_docs) for _ in range(N_RUNS))
+    headline_runs = [subprocess_sample(cpus, n_docs) for _ in range(N_RUNS)]
+    extract_sec = min(headline_runs)
     docs_per_sec = n_docs / extract_sec
 
     # --- registry queries on the driver-provided tables ----------------------
@@ -250,35 +322,88 @@ def main() -> None:
     def sample(threads: int) -> float:
         return subprocess_sample(threads, SCALING_DOCS)
 
-    # gate pair: ADJACENT interleaved samples, median of per-pass ratios.
+    # gate pair: SYMMETRIC ABA passes, median of per-pass ratios.
     # This sandbox's dominant noise is MULTIPLICATIVE memory-bandwidth drift on
     # a minutes scale (2-5× on identical work); independent per-level minima
     # diverge under it (round 1: a physically impossible kernel efficiency of
-    # 1.371 — the Pool(1) floor caught a fast-drift window the Pool(4) floor
-    # didn't). Back-to-back samples share the drift factor, which cancels in
-    # each pass's T1/T4 ratio; the median over passes then rejects the residual
-    # burst noise. Order alternates per pass to cancel order effects.
-    # FIXED pass count (r2 VERDICT #1c): sampling until the gate passes is
-    # optional stopping — it conditions the reported median on having just
-    # crossed 0.8 and biases it upward. Every pass runs; the median is over
-    # all of them.
-    GATE_PASSES = 5
+    # 1.371). Round 2 used adjacent pairs (drift cancels when constant across
+    # the pair), but a pass whose drift CHANGES between its two samples still
+    # corrupts the ratio (round-3 run 1: per-pass 0.37/0.32 against a 0.92
+    # JVM-free kernel control — impossible for a shuffle-free job). Each pass
+    # here is A-B-A: the outer level sampled twice bracketing the inner one,
+    # ratio from the geometric mean of the outer pair — under log-linear drift
+    # d(t), sqrt(d(T)·d(T+2δ)) = d(T+δ) exactly, so first-order drift cancels
+    # WITHIN the pass, not just across it. The middle level alternates per pass
+    # to cancel order effects. FIXED pass count (r2 VERDICT #1c): no optional
+    # stopping; the median is over all passes.
+    # PING-PONG protocol: one persistent server JVM per gate level; the parent
+    # alternates 'go' commands and pairs each round's adjacent (T1, T4). With
+    # no JVM restart between samples (a) adjacent samples sit ~30 s apart, well
+    # inside one drift plateau, so the multiplicative drift factor cancels in
+    # each round's ratio, and (b) the same wall budget buys 2-3x more rounds —
+    # the median over ~16 rounds rejects the step-drift corruption that single
+    # passes cannot. Round order alternates to cancel order effects. FIXED
+    # round count: no optional stopping.
+    GATE_ROUNDS = 16
+
+    def _server(threads: int) -> subprocess.Popen:
+        pr = subprocess.Popen(
+            [sys.executable, str(HERE / "bench.py"), "--serve", str(threads),
+             "--docs", str(GATE_DOCS), "--mega-every", str(GATE_MEGA)],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, bufsize=1,
+        )
+        while True:
+            line = pr.stdout.readline()
+            if not line:
+                raise RuntimeError(f"gate server local[{threads}] died")
+            if line.startswith("{"):
+                break
+        return pr
+
+    def _go(pr: subprocess.Popen) -> float:
+        pr.stdin.write("go\n")
+        pr.stdin.flush()
+        while True:
+            line = pr.stdout.readline()
+            if not line:
+                raise RuntimeError("gate server died mid-round")
+            if line.startswith("{"):
+                return json.loads(line)["sec"]
+
+    srv = {1: _server(1), 4: _server(4)}
     t1s: list[float] = []
     t4s: list[float] = []
-    for _pass in range(GATE_PASSES):
-        order = (1, 4) if _pass % 2 == 0 else (4, 1)
-        res = {}
-        for threads in order:
-            res[threads] = sample(threads)
-        t1s.append(res[1])
-        t4s.append(res[4])
-    gate_ratios = [(a / b) / 4.0 for a, b in zip(t1s, t4s)]
-    scaling: dict[int, float] = {1: min(t1s), 4: min(t4s)}
+    gate_ratios: list[float] = []
+    try:
+        # two fixed SETTLE rounds, discarded: the first post-warmup runs are
+        # reproducibly slow (validation run: T4 = 25.6/20.2 s vs ~10 s steady
+        # state — page cache + JIT settling). Fixed count, never data-dependent.
+        for _settle in range(2):
+            for th in (1, 4):
+                _go(srv[th])
+        for rnd in range(GATE_ROUNDS):
+            order = (1, 4) if rnd % 2 == 0 else (4, 1)
+            res = {th: _go(srv[th]) for th in order}
+            t1s.append(res[1])
+            t4s.append(res[4])
+            gate_ratios.append((res[1] / res[4]) / 4.0)
+    finally:
+        for pr in srv.values():
+            try:
+                pr.stdin.write("quit\n")
+                pr.stdin.flush()
+            except Exception:
+                pass
+            pr.terminate()
+    gate_floors: dict[int, float] = {1: min(t1s), 4: min(t4s)}
     efficiency_raw = _median(gate_ratios)
     efficiency = min(efficiency_raw, 1.0)
-    # saturation curve: min of 2 samples (noise spikes hit single shots)
+    # saturation curve on the LARGE slice (1, 4 included for continuity):
+    # min of 2 samples (noise spikes hit single shots)
+    scaling: dict[int, float] = {}
     for _ in range(2):
-        for threads in (8, 32):
+        for threads in (1, 4, 8, 32):
             s = sample(threads)
             scaling[threads] = min(scaling.get(threads, s), s)
     thr = {t: n_scale / s for t, s in scaling.items()}
@@ -296,6 +421,7 @@ def main() -> None:
             "n_docs": n_docs,
             "docs_per_sec": round(docs_per_sec, 1),
             "runs": N_RUNS,
+            "runs_sec": [round(s, 3) for s in headline_runs],
             "aggregation": "min of fresh-JVM subprocess runs",
         },
         "scaling": {
@@ -303,7 +429,10 @@ def main() -> None:
             "sec_by_threads": {str(t): round(s, 3) for t, s in scaling.items()},
             "docs_per_sec_by_threads": {str(t): round(v, 1) for t, v in thr.items()},
             "gate_pair": "local[1] -> local[4]",
-            "estimator": "median of per-pass adjacent-sample ratios (cancels multiplicative drift)",
+            "gate_n_docs": GATE_DOCS,
+            "gate_rounds": GATE_ROUNDS,
+            "gate_floors_sec": {str(t): round(s, 3) for t, s in gate_floors.items()},
+            "estimator": "median of adjacent-pair ratios from two persistent server JVMs ping-ponging short runs (adjacent samples share the drift plateau; no JVM restarts => 16 rounds)",
             "per_pass_efficiency": [round(r, 3) for r in gate_ratios],
             "efficiency_1_to_4": round(efficiency, 3),
             "efficiency_1_to_4_raw_median": round(efficiency_raw, 3),
@@ -333,18 +462,32 @@ stopping.
 
 ## Scaling gate (north rule: efficiency ≥ 0.8 from N to 4N)
 
-Identical job + identical input ({n_scale} docs) at several parallelism levels.
-Methodology: fresh JVM per sample with `-XX:ActiveProcessorCount` pinned, python
-workers pre-warmed, pyarrow worker pools pinned to 1 thread (so local[N] really
-uses N cores). This sandbox's dominant noise is MULTIPLICATIVE memory-bandwidth
-drift on a minutes scale (2-5× on identical work), under which independent
-per-level minima diverge — round 1's per-level-floor estimator produced a
-physically impossible kernel efficiency of 1.371. The estimator here samples the
-two gate levels BACK-TO-BACK each pass (order alternating), so the drift factor
-cancels in each pass's T_1/T_4 ratio, and reports the MEDIAN of per-pass ratios
-({len(gate_ratios)} passes). Any raw value above 1.0 means residual noise, never
-real superlinearity; headline values are capped at 1.0 with the raw median
-reported alongside.
+Identical job + identical input at each comparison: the gate pair (1 vs 4
+cores) on a {GATE_DOCS}-doc slice, the saturation curve below on the
+{n_scale}-doc slice. Methodology: fresh JVM per sample with
+`-XX:ActiveProcessorCount` pinned, python workers pre-warmed, pyarrow worker
+pools pinned to 1 thread (so local[N] really uses N cores). This sandbox's
+dominant noise is MULTIPLICATIVE memory-bandwidth drift that STEPS on a
+~minute scale (2-5× on identical work), under which independent per-level
+minima diverge — round 1's per-level-floor estimator produced a physically
+impossible kernel efficiency of 1.371; round 3's first run showed
+adjacent-pair ratios of 0.37/0.32 against a 0.92 JVM-free control (drift
+changed between the pair's samples). The estimator here is a PING-PONG protocol:
+both gate levels run as persistent, pre-warmed server JVMs and the parent
+alternates one short measured run per side per round. Adjacent samples sit
+~30 s apart — inside one drift plateau — so the multiplicative drift factor
+cancels in each round's T_1/T_4 ratio, and removing the ~25 s JVM restart per
+sample buys {len(gate_ratios)} rounds in the wall budget that fresh-JVM
+sampling spent on ~5; the MEDIAN over rounds rejects step-drift-corrupted
+rounds (fixed round count, no optional stopping). Each server warms up with a
+full real run before round 1, so fixed cold costs (parquet footers, codegen)
+are out of the measurement; remaining fixed stage overhead at the short length
+penalizes the 4-thread side relatively more, so the short-sample bias runs
+AGAINST the gate, not for it. Any raw value above 1.0 means residual noise,
+never real superlinearity; headline values are capped at 1.0 with the raw
+median reported alongside.
+
+Saturation curve ({n_scale} docs, min of 2 samples per level):
 
 | threads | best wall (s) | docs/s |
 |---|---|---|
@@ -352,9 +495,10 @@ reported alongside.
         f"| local[{t}] | {scaling[t]:.2f} | {thr[t]:.1f} |" for t in sorted(scaling)
     ) + f"""
 
-**Gate (N=1 → 4N=4 cores): efficiency = median of per-pass (T_1/T_4)/4 =
-{efficiency:.3f}** (raw median {efficiency_raw:.3f}; per-pass
-{', '.join(f'{r:.3f}' for r in gate_ratios)}; 8→32: {efficiency_8_32:.3f})
+**Gate (N=1 → 4N=4 cores, {GATE_DOCS} docs): efficiency = median of per-round
+adjacent-pair ratios = {efficiency:.3f}** (raw median {efficiency_raw:.3f}; per-round
+{', '.join(f'{r:.3f}' for r in gate_ratios)}; floors T1 {gate_floors[1]:.2f}s /
+T4 {gate_floors[4]:.2f}s; 8→32 on the large slice: {efficiency_8_32:.3f})
 
 Controlled JVM-free experiment (identical kernels + identical files via
 multiprocessing, the per-executor compute of a real cluster), same estimator:
