@@ -66,7 +66,11 @@ _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _WIDTHS_RE = re.compile(rb"/Widths\s*\[([^\]]*)\]")
 _FIRSTCHAR_RE = re.compile(rb"/FirstChar\s+(\d+)")
 _BASEFONT_RE = re.compile(rb"/BaseFont\s*/([A-Za-z0-9+#._-]+)")
-_FONTREF_RE = re.compile(rb"/(F[\w]*|TT[\w]*)\s+(\d+)\s+\d+\s+R")
+# any PDF name token (r3 VERDICT #1a: real generators use /C2_0, /R7, /Helv, …
+# — the old /F…|/TT… class silently fell back to the default simple font and
+# decoded Type0 2-byte strings as Latin-1 mojibake)
+_NAME_KEY_RE = re.compile(rb"/([A-Za-z0-9#._+-]+)")
+_REF_AT_RE = re.compile(rb"\s*(\d+)\s+\d+\s+R")
 
 # public Courier metric: every glyph 600/1000 em. Other standard-14 faces get a
 # flat average (spacing fidelity is only needed for x-ordering, which a constant
@@ -368,17 +372,92 @@ def _build_font(objs: dict[int, bytes], body: bytes) -> _Font:
     return _Font(False, default, widths, decode)
 
 
-def _fonts(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, _Font]:
-    """font resource name → _Font, from the page body or its (possibly
-    indirect) /Resources dictionary."""
-    search = page_body
-    rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", page_body)
-    if rm:
-        search = page_body + b"\n" + objs.get(int(rm.group(1)), b"")
-    out: dict[bytes, _Font] = {}
-    for m in _FONTREF_RE.finditer(search):
-        name, ref = m.group(1), int(m.group(2))
-        out[b"/" + name] = _build_font(objs, objs.get(ref, b""))
+def _balanced_dict(data: bytes, start: int) -> bytes | None:
+    """Slice of data beginning at ``start`` (which must point at '<<') through
+    its matching '>>', inclusive. None if unbalanced. (Delimiters inside
+    literal strings are not special-cased — resource dicts don't carry string
+    values in practice; a miscount degrades to a parse error, never garbage.)"""
+    depth = 0
+    i, n = start, len(data)
+    while i < n - 1:
+        two = data[i : i + 2]
+        if two == b"<<":
+            depth += 1
+            i += 2
+        elif two == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[start:i]
+        else:
+            i += 1
+    return None
+
+
+def _dict_value(body: bytes, key: bytes, objs: dict[int, bytes]) -> bytes | None:
+    """Value of /key in dict ``body``: an inline '<< … >>' dict (balanced
+    slice) or an indirect reference resolved through ``objs``. None if the key
+    is absent or unresolvable."""
+    m = re.search(rb"/" + key + rb"\s*(<<|(\d+)\s+\d+\s+R)", body)
+    if not m:
+        return None
+    if m.group(1).startswith(b"<<"):
+        return _balanced_dict(body, m.start(1))
+    return objs.get(int(m.group(2)))
+
+
+def _page_resources(objs: dict[int, bytes], page_body: bytes) -> bytes | None:
+    """The page's /Resources dict — direct, indirect, or INHERITED through the
+    /Parent chain (the PDF spec makes /Resources inheritable; generators
+    commonly hoist shared fonts to the /Pages node). Chain walk is bounded —
+    hostile /Parent cycles terminate."""
+    body = page_body
+    for _ in range(32):
+        res = _dict_value(body, b"Resources", objs)
+        if res is not None:
+            return res
+        pm = re.search(rb"/Parent\s+(\d+)\s+\d+\s+R", body)
+        if not pm:
+            return None
+        body = objs.get(int(pm.group(1)), b"")
+    return None
+
+
+def _fonts(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, _Font | None]:
+    """font resource name → _Font from the page's (possibly inherited)
+    /Resources /Font dictionary. ANY name token binds (/F1, /TT2, /C2_0, /R7,
+    /Helv, …). An entry whose referenced object is missing maps to None — the
+    interpreter sentinels if a show op ever uses it (never silent garbage)."""
+    res = _page_resources(objs, page_body)
+    if res is None:
+        # legacy minimal files: /Font dict sitting directly in the page body
+        res = page_body
+    fdict = _dict_value(res, b"Font", objs)
+    out: dict[bytes, _Font | None] = {}
+    if fdict is None:
+        return out
+    # walk "/Name value" pairs: value = indirect ref or inline font dict
+    i = fdict.find(b"<<")
+    i = i + 2 if i >= 0 else 0
+    while True:
+        km = _NAME_KEY_RE.search(fdict, i)
+        if not km:
+            break
+        i = km.end()
+        rm = _REF_AT_RE.match(fdict, i)
+        if rm:
+            body = objs.get(int(rm.group(1)))
+            out[b"/" + km.group(1)] = _build_font(objs, body) if body else None
+            i = rm.end()
+            continue
+        wm = re.match(rb"\s*", fdict[i:])
+        j = i + wm.end()
+        if fdict[j : j + 2] == b"<<":
+            inline = _balanced_dict(fdict, j)
+            if inline is None:
+                break
+            out[b"/" + km.group(1)] = _build_font(objs, inline)
+            i = j + len(inline)
     return out
 
 
@@ -440,9 +519,36 @@ _TOKEN_RE = re.compile(
 )
 
 
+# inline-image scan anchors (r3 VERDICT #1b: without BI/ID/EI handling the
+# entropy-coded binary after ID was scanned as tokens — a stray '(' opened a
+# string swallowing arbitrary bytes, and byte runs matching Tj-family operators
+# fired with garbage operands: silent wrong char events on scanned/hybrid PDFs)
+_WS = b"\x00\t\n\x0c\r "
+_INLINE_ID_RE = re.compile(rb"(?<![A-Za-z])ID[\x00\t\n\x0c\r ]")
+_INLINE_EI_RE = re.compile(rb"[\x00\t\n\x0c\r]EI(?=[\x00\t\n\x0c\r /\[\]<>(%]|$)|[ ]EI(?=[\x00\t\n\x0c\r /\[\]<>(%]|$)")
+
+_IMG_TOKEN = ("img", None)
+
+
+def _skip_inline_image(stream: bytes, i: int) -> int:
+    """Position just past the EI terminating the inline image whose BI operator
+    ended at ``i``: skip the parameter dict to the ID operator, then the raw
+    binary sample data to the EI at a whitespace boundary. A BI with no
+    ID/EI is a broken stream — PdfParseError (sentinel), never resumed
+    tokenization inside binary data."""
+    idm = _INLINE_ID_RE.search(stream, i)
+    if not idm:
+        raise PdfParseError("inline image without ID")
+    eim = _INLINE_EI_RE.search(stream, idm.end())
+    if not eim:
+        raise PdfParseError("unterminated inline image")
+    return eim.end()
+
+
 def _tokenize(stream: bytes):
     """Yield content-stream tokens: floats, names (bytes, leading /), operator
-    bytes, literal/hex strings as ('str', bytes), and '[' / ']'."""
+    bytes, literal/hex strings as ('str', bytes), '[' / ']', and the marker
+    ``_IMG_TOKEN`` for each skipped BI…ID…EI inline image."""
     i, n = 0, len(stream)
     while i < n:
         c = stream[i : i + 1]
@@ -463,6 +569,10 @@ def _tokenize(stream: bytes):
             continue
         t = m.group(0)
         i = m.end()
+        if t == b"BI":
+            i = _skip_inline_image(stream, i)
+            yield _IMG_TOKEN
+            continue
         if t.startswith(b"<"):
             hx = re.sub(rb"\s", b"", t[1:-1])
             if len(hx) % 2:
@@ -476,10 +586,18 @@ def _tokenize(stream: bytes):
             yield t  # name or operator, as bytes
 
 
-def _page_char_events(content: bytes, fonts: dict[bytes, _Font]):
-    """Execute the text-positioning subset of the content stream; yield
-    (codepoint, x0, y0, x1, y1) per shown char, in show order (PDF points,
-    bottom-left origin — the FIXTURES.md pdf_chars contract)."""
+# sentinel marker: a Tf named a font resource that exists in the /Font dict
+# but could not be resolved, or a name absent from a non-empty /Font dict —
+# showing text with it would be silent garbage, so show ops raise instead
+_UNRESOLVED_FONT = _Font(False, _DEFAULT_WIDTH, {}, None)
+
+
+def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None]):
+    """Execute the text-positioning subset of the content stream. Returns
+    (events, n_image_ops): events = (codepoint, x0, y0, x1, y1) per shown char
+    in show order (PDF points, bottom-left origin — the FIXTURES.md pdf_chars
+    contract); n_image_ops counts XObject paints (Do) and inline images — the
+    signal the OCR-routing marker uses for image-only pages."""
     size = 12.0
     font = _DEFAULT_FONT
     leading = 0.0
@@ -490,11 +608,14 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font]):
     x = y = 0.0
     stack: list = []
     events: list[tuple[int, float, float, float, float]] = []
+    n_image_ops = 0
     in_array = False
     array_items: list = []
 
     def show(sb: bytes) -> None:
         nonlocal x
+        if font is _UNRESOLVED_FONT:
+            raise PdfParseError("show op references unresolved font resource")
         if font.cid:
             # Identity-H: 2-byte big-endian CIDs (odd trailing byte dropped)
             codes = [(sb[j] << 8) | sb[j + 1] for j in range(0, len(sb) - 1, 2)]
@@ -513,6 +634,9 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font]):
         x, y = lm_e, lm_f
 
     for tok in _tokenize(content):
+        if tok is _IMG_TOKEN:
+            n_image_ops += 1
+            continue
         if tok == "[":
             in_array, array_items = True, []
             continue
@@ -534,7 +658,15 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font]):
             if op == b"Tf":
                 size = float(stack[-1])
                 fname = stack[-2]
-                font = fonts.get(fname, _DEFAULT_FONT)
+                if fname in fonts:
+                    font = fonts[fname] or _UNRESOLVED_FONT
+                elif fonts:
+                    # a /Font dict exists but this name isn't in it: decoding
+                    # with the default metric would be silent mojibake for any
+                    # Type0 string — sentinel at show time instead
+                    font = _UNRESOLVED_FONT
+                else:
+                    font = _DEFAULT_FONT
                 stack.clear()
             elif op == b"Td":
                 ty, tx = float(stack[-1]), float(stack[-2])
@@ -592,11 +724,15 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font]):
                     else:  # kerning adjustment, thousandths of em
                         x -= float(item) / 1000.0 * size * tm_a
                 stack.clear()
+            elif op == b"Do":
+                # XObject paint (image or form) — the image-only-page signal
+                n_image_ops += 1
+                stack.clear()
             else:
                 stack.clear()  # untracked operator consumes its operands
         except (IndexError, TypeError, ValueError) as e:
             raise PdfParseError(f"malformed content stream at {op!r}") from e
-    return events
+    return events, n_image_ops
 
 
 # ---------------------------------------------------------------------------------
@@ -647,11 +783,13 @@ def _page_order(objs: dict[int, bytes]) -> list[int] | None:
     return order or None
 
 
-def pdf_to_pdf_chars_payloads(data: bytes) -> list[str]:
-    """PDF bytes → one FIXTURES.md `pdf_chars` payload string per page, in
-    document page order (the /Pages tree's /Kids order; object-number order
-    only when no tree resolves). Raises PdfParseError on anything outside the
-    supported surface (callers map that to the error sentinel)."""
+def pdf_to_page_records(data: bytes) -> list[tuple[str, int, int]]:
+    """PDF bytes → one (payload, n_text_events, n_image_ops) record per page,
+    in document page order (the /Pages tree's /Kids order; object-number order
+    only when no tree resolves). payload is the FIXTURES.md `pdf_chars` string;
+    n_image_ops counts XObject paints + inline images (the needs-OCR signal for
+    pages that draw images but show no text). Raises PdfParseError on anything
+    outside the supported surface (callers map that to the error sentinel)."""
     if not data.startswith(b"%PDF-"):
         raise PdfParseError("missing %PDF header")
     objs = _objects(data)
@@ -676,7 +814,7 @@ def pdf_to_pdf_chars_payloads(data: bytes) -> list[str]:
     if not pages:
         raise PdfParseError("no /Type /Page objects")
 
-    payloads = []
+    records: list[tuple[str, int, int]] = []
     for _num, body in pages:
         m = _MEDIABOX_RE.search(body)
         box = _box_floats(m) if m else default_box
@@ -695,16 +833,22 @@ def pdf_to_pdf_chars_payloads(data: bytes) -> list[str]:
             if not cm:
                 if b"/Contents" in body:
                     raise PdfParseError("unresolvable /Contents entry")
-                payloads.append(f"PAGE\t{w:g}\t{h:g}")
+                records.append((f"PAGE\t{w:g}\t{h:g}", 0, 0))
                 continue
             content = _stream_data(objs.get(int(cm.group(1)), b""), objs)
         fonts = _fonts(objs, body)
-        events = _page_char_events(content, fonts)
+        events, n_image_ops = _page_char_events(content, fonts)
         recs = [f"PAGE\t{w:g}\t{h:g}"]
         for code, x0, y0, x1, y1 in events:
             recs.append(f"{code:08x}\t{x0:g}\t{y0:g}\t{x1:g}\t{y1:g}")
-        payloads.append("\n".join(recs))
-    return payloads
+        records.append(("\n".join(recs), len(events), n_image_ops))
+    return records
+
+
+def pdf_to_pdf_chars_payloads(data: bytes) -> list[str]:
+    """PDF bytes → one FIXTURES.md `pdf_chars` payload string per page (see
+    pdf_to_page_records for the richer per-page form)."""
+    return [payload for payload, _n_ev, _n_img in pdf_to_page_records(data)]
 
 
 def pdf_binary_to_corpus(df):

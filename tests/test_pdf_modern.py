@@ -188,3 +188,100 @@ def test_objstm_spark_e2e(spark):
     assert [s["text"] for s in out["objstm-1"]["spans"]] == [LONG1]
     assert [s["text"] for s in out["cid-1"]["spans"]] == [LONG1, LONG2]
     assert not out["objstm-1"]["parse_failed"] and not out["cid-1"]["parse_failed"]
+
+
+# --- r3 VERDICT #1: the two silent-garbage interpreter paths -----------------
+
+
+def test_cid_font_named_c2_0_resolves():
+    """Acrobat-style /C2_0 resource names (and Ghostscript /R7 etc.) must bind
+    — the r3 regex only matched /F…|/TT… and fell back to byte-wise Latin-1,
+    mojibake for 2-byte CID strings."""
+    pdf = make_pdf_type0(f"{LONG1} {LONG2}")
+    pdf = pdf.replace(b"/F1 5 0 R", b"/C2_0 5 0 R").replace(b"/F1 12 Tf", b"/C2_0 12 Tf")
+    assert _extract_texts(pdf) == [LONG1, LONG2]
+
+
+def test_simple_font_any_name_resolves():
+    """Ghostscript-style /R7 simple-font names bind, with /Widths honored."""
+    pdf = make_pdf([b"BT /R7 10 Tf 0 700 Td (AB) Tj ET"])
+    pdf = pdf.replace(b"/F1 5 0 R", b"/R7 5 0 R").replace(
+        b"/BaseFont /Courier >>",
+        b"/BaseFont /Courier /FirstChar 65 /Widths [300 700] >>",
+    )
+    payload = pdf_to_pdf_chars_payloads(pdf)[0]
+    lines = [ln.split("\t") for ln in payload.split("\n")[1:]]
+    assert float(lines[0][3]) == 3.0 and float(lines[1][3]) == 10.0
+
+
+def test_unresolved_font_name_sentinels_not_mojibake():
+    """A Tf naming a font absent from a non-empty /Font dict must raise (→
+    sentinel) at show time — not decode CID bytes as Latin-1."""
+    import pytest
+
+    from pdf_extract_sys_spark.sources.pdf_bytes import PdfParseError
+
+    pdf = make_pdf_type0(LONG1)
+    pdf = pdf.replace(b"/F1 12 Tf", b"/F9 12 Tf")  # /F9 not in the /Font dict
+    with pytest.raises(PdfParseError):
+        pdf_to_pdf_chars_payloads(pdf)
+
+
+def test_font_dict_entry_with_missing_object_sentinels():
+    pdf = make_pdf_type0(LONG1)
+    pdf = pdf.replace(b"/F1 5 0 R", b"/F1 99 0 R")  # object 99 doesn't exist
+    import pytest
+
+    from pdf_extract_sys_spark.sources.pdf_bytes import PdfParseError
+
+    with pytest.raises(PdfParseError):
+        pdf_to_pdf_chars_payloads(pdf)
+
+
+def test_resources_inherited_from_pages_node():
+    """/Resources hoisted to the /Pages node (spec-inheritable) resolve through
+    the /Parent chain."""
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()
+    pdf = make_pdf([content])
+    pdf = pdf.replace(b"/Resources << /Font << /F1 5 0 R >> >> >>", b">>")
+    pdf = pdf.replace(
+        b"/MediaBox [0 0 612 792] >>",
+        b"/MediaBox [0 0 612 792] /Resources << /Font << /F1 5 0 R >> >> >>",
+    )
+    assert _extract_texts(pdf) == [LONG1]
+
+
+def test_inline_image_skipped_not_tokenized():
+    """BI…ID…EI binary data must not corrupt the token stream: the payload here
+    embeds '(', 'Tj'-like runs and parens inside the image bytes."""
+    img = bytes([0x28, 0x54, 0x6A, 0x20, 0x29, 0xFF, 0x00, 0x28, 0x42, 0x54])
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (" + LONG1.encode() + b") Tj ET\n"
+        b"BI /W 2 /H 2 /BPC 8 /CS /RGB ID " + img + b"\nEI\n"
+        b"BT /F1 12 Tf 72 700 Td (" + LONG2.encode()
+        + b" Padding words so this also clears the fifty char searchable gate.) Tj ET"
+    )
+    texts = _extract_texts(make_pdf([content]))
+    assert texts[0] == LONG1 and texts[1].startswith(LONG2)
+
+
+def test_inline_image_without_ei_sentinels():
+    import pytest
+
+    from pdf_extract_sys_spark.sources.pdf_bytes import PdfParseError
+
+    content = b"BI /W 2 /H 2 ID \xff\x00\xff\x00 no terminator here"
+    with pytest.raises(PdfParseError):
+        pdf_to_pdf_chars_payloads(make_pdf([content]))
+
+
+def test_image_ops_counted_in_page_records():
+    from pdf_extract_sys_spark.sources.pdf_bytes import pdf_to_page_records
+
+    content = (
+        b"q 612 0 0 792 0 0 cm /Im1 Do Q\n"
+        b"BI /W 1 /H 1 /BPC 8 ID \x7f\nEI\n"
+    )
+    recs = pdf_to_page_records(make_pdf([content]))
+    payload, n_ev, n_img = recs[0]
+    assert n_ev == 0 and n_img == 2 and payload == "PAGE\t612\t792"
