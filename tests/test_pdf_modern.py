@@ -285,3 +285,234 @@ def test_image_ops_counted_in_page_records():
     recs = pdf_to_page_records(make_pdf([content]))
     payload, n_ev, n_img = recs[0]
     assert n_ev == 0 and n_img == 2 and payload == "PAGE\t612\t792"
+
+
+# --- r3 VERDICT #3/#4 + ADVICE: stream filters, /Encrypt, ObjStm slicing -----
+
+
+def _pdf_with_filtered_content(content: bytes, data: bytes, filter_spec: bytes,
+                               parms: bytes = b"") -> bytes:
+    """make_pdf variant whose single content stream carries arbitrary encoded
+    data + /Filter spec."""
+    pdf = make_pdf([content])
+    plain = (b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+             + content + b"\nendstream")
+    enc = (b"<< /Length " + str(len(data)).encode() + b" /Filter " + filter_spec
+           + parms + b" >>\nstream\n" + data + b"\nendstream")
+    assert plain in pdf
+    return pdf.replace(plain, enc)
+
+
+CONTENT = f"BT /F1 12 Tf 72 720 Td ({LONG1} {LONG2}) Tj ET".encode()
+
+
+def test_ascii_hex_decode():
+    data = CONTENT.hex().encode() + b">"
+    pdf = _pdf_with_filtered_content(CONTENT, data, b"/ASCIIHexDecode")
+    assert _extract_texts(pdf) == [LONG1, LONG2]
+
+
+def test_ascii85_decode():
+    import base64
+
+    data = base64.a85encode(CONTENT) + b"~>"
+    pdf = _pdf_with_filtered_content(CONTENT, data, b"/ASCII85Decode")
+    assert _extract_texts(pdf) == [LONG1, LONG2]
+
+
+def test_run_length_decode():
+    # naive RLE encoder: literal runs of <= 128 bytes, then EOD
+    out = bytearray()
+    for i in range(0, len(CONTENT), 128):
+        chunk = CONTENT[i : i + 128]
+        out += bytes([len(chunk) - 1]) + chunk
+    out.append(128)
+    pdf = _pdf_with_filtered_content(CONTENT, bytes(out), b"/RunLengthDecode")
+    assert _extract_texts(pdf) == [LONG1, LONG2]
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Reference PDF-LZW encoder for the roundtrip test (MSB-first, 9->12 bit
+    codes, 256=clear emitted first, 257=EOD)."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out_bits: list[tuple[int, int]] = [(256, 9)]
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        out_bits.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        if next_code + early - 1 >= (1 << width) and width < 12:
+            width += 1
+        w = bytes([ch])
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((257, width))
+    buf = nbits = 0
+    res = bytearray()
+    for code, wd in out_bits:
+        buf = (buf << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            res.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        res.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(res)
+
+
+def test_lzw_decode_roundtrip():
+    from pdf_extract_sys_spark.sources.pdf_bytes import _lzw_decode
+
+    for payload in (b"", b"A", b"TOBEORNOTTOBEORTOBEORNOT" * 20, CONTENT):
+        assert _lzw_decode(_lzw_encode(payload)) == payload
+
+
+def test_lzw_filtered_content_stream():
+    pdf = _pdf_with_filtered_content(CONTENT, _lzw_encode(CONTENT), b"/LZWDecode")
+    assert _extract_texts(pdf) == [LONG1, LONG2]
+
+
+def test_filter_chain_a85_then_flate():
+    import base64
+
+    data = base64.a85encode(zlib.compress(CONTENT)) + b"~>"
+    pdf = _pdf_with_filtered_content(
+        CONTENT, data, b"[/ASCII85Decode /FlateDecode]"
+    )
+    assert _extract_texts(pdf) == [LONG1, LONG2]
+
+
+def _png_predict(data: bytes, columns: int, ft: int) -> bytes:
+    """Apply a PNG row filter (encoder side) for the predictor test."""
+    rows = [data[i : i + columns] for i in range(0, len(data), columns)]
+    rows = [r + b"\x00" * (columns - len(r)) for r in rows]
+    out = bytearray()
+    prev = bytes(columns)
+    for r in rows:
+        out.append(ft)
+        if ft == 2:  # Up
+            out += bytes((r[j] - prev[j]) & 0xFF for j in range(columns))
+        elif ft == 1:  # Sub (bpp=1)
+            out += bytes((r[j] - (r[j - 1] if j else 0)) & 0xFF for j in range(columns))
+        else:
+            out += r
+        prev = r
+    return bytes(out)
+
+
+def test_flate_with_png_up_predictor():
+    cols = 16
+    padded = CONTENT + b" " * ((-len(CONTENT)) % cols)
+    data = zlib.compress(_png_predict(padded, cols, 2))
+    pdf = _pdf_with_filtered_content(
+        padded, data, b"/FlateDecode",
+        b" /DecodeParms << /Predictor 12 /Columns 16 >>",
+    )
+    assert _extract_texts(pdf) == [LONG1, LONG2]
+
+
+def test_flate_with_png_sub_predictor_and_dp_alias():
+    cols = 8
+    padded = CONTENT + b" " * ((-len(CONTENT)) % cols)
+    data = zlib.compress(_png_predict(padded, cols, 1))
+    pdf = _pdf_with_filtered_content(
+        padded, data, b"/FlateDecode",
+        b" /DP << /Predictor 11 /Columns 8 >>",
+    )
+    assert _extract_texts(pdf) == [LONG1, LONG2]
+
+
+def test_tiff_predictor_2():
+    from pdf_extract_sys_spark.sources.pdf_bytes import _apply_predictor
+
+    row = bytes([10, 5, 3, 2])  # decoded should be 10,15,18,20
+    assert _apply_predictor(row, b"<< /Predictor 2 /Columns 4 >>") == bytes(
+        [10, 15, 18, 20]
+    )
+
+
+def test_dct_decode_still_sentinels():
+    import pytest
+
+    from pdf_extract_sys_spark.sources.pdf_bytes import PdfParseError
+
+    pdf = _pdf_with_filtered_content(CONTENT, b"\xff\xd8\xff", b"/DCTDecode")
+    with pytest.raises(PdfParseError):
+        pdf_to_pdf_chars_payloads(pdf)
+
+
+def test_encrypted_pdf_sentinels_not_mojibake():
+    import pytest
+
+    from pdf_extract_sys_spark.sources.pdf_bytes import PdfParseError
+
+    pdf = make_pdf([CONTENT])
+    pdf = pdf.replace(
+        b"%%EOF",
+        b"trailer\n<< /Size 9 /Root 1 0 R /Encrypt 8 0 R >>\n%%EOF",
+    )
+    with pytest.raises(PdfParseError, match="encrypted"):
+        pdf_to_pdf_chars_payloads(pdf)
+
+
+def test_encrypt_in_page_text_is_not_a_false_positive():
+    content = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"(See the /Encrypt 5 0 R entry in a long enough sentence to pass the gate.) Tj ET"
+    )
+    texts = _extract_texts(make_pdf([content]))
+    assert len(texts) == 1 and "/Encrypt 5 0 R" in texts[0]
+
+
+def test_objstm_nonmonotonic_offsets():
+    """Member offsets out of ascending order must slice each member to the
+    NEXT-LARGER offset (r3 ADVICE), not offs[i+1]."""
+    members = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+    }
+    bodies = list(members.values())
+    offs = []
+    pos = 0
+    for b in bodies:
+        offs.append(pos)
+        pos += len(b) + 1
+    # emit header pairs in REVERSED order (offsets descend)
+    order = list(range(len(bodies)))[::-1]
+    header = b" ".join(
+        b"%d %d" % (list(members)[i], offs[i]) for i in order
+    ) + b"\n"
+    payload = header + b"\n".join(bodies) + b"\n"
+    data = zlib.compress(payload)
+    objstm = (
+        b"<< /Type /ObjStm /N " + str(len(members)).encode()
+        + b" /First " + str(len(header)).encode()
+        + b" /Length " + str(len(data)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + data + b"\nendstream"
+    )
+    cdata = zlib.compress(CONTENT)
+    cobj = (b"<< /Length " + str(len(cdata)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + cdata + b"\nendstream")
+    pdf = (b"%PDF-1.5\n4 0 obj\n" + cobj + b"\nendobj\n7 0 obj\n" + objstm
+           + b"\nendobj\n%%EOF")
+    assert _extract_texts(pdf) == [LONG1, LONG2]
+
+
+def test_malformed_objstm_skipped_when_pages_are_top_level():
+    """A corrupt ObjStm irrelevant to extraction (e.g. metadata) must not
+    promote to doc-level sentinel when all pages resolve at top level."""
+    pdf = make_pdf([CONTENT])
+    junk = b"\x00\x01broken"
+    bad = (b"<< /Type /ObjStm /N 2 /First 8 /Length " + str(len(junk)).encode()
+           + b" /Filter /FlateDecode >>\nstream\n" + junk + b"\nendstream")
+    pdf = pdf.replace(b"%%EOF", b"9 0 obj\n" + bad + b"\nendobj\n%%EOF")
+    assert _extract_texts(pdf) == [LONG1, LONG2]
