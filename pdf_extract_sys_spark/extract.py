@@ -40,6 +40,7 @@ from .schema import (
     KIND_ERROR,
     KIND_HTML,
     KIND_MEDIA,
+    KIND_NEEDS_OCR,
     KIND_OCR_WORDS,
     KIND_PDF_CHARS,
     KIND_TEXT,
@@ -106,7 +107,11 @@ def extract_docs(
     needs_text = kind.isin([KIND_PDF_CHARS, KIND_OCR_WORDS, KIND_HTML]).to_numpy()
     failed.update(sr.loc[needs_text & sr["text"].isna().to_numpy(), "doc_id"].unique())
     failed.update(
-        sr.loc[(kind == KIND_MEDIA).to_numpy() & sr["media_ref"].isna().to_numpy(), "doc_id"].unique()
+        sr.loc[
+            kind.isin([KIND_MEDIA, KIND_NEEDS_OCR]).to_numpy()
+            & sr["media_ref"].isna().to_numpy(),
+            "doc_id",
+        ].unique()
     )
 
     def ok_rows(k: str) -> pd.DataFrame:
@@ -165,6 +170,11 @@ def extract_docs(
     # --- media passthrough (FIXTURES.md kind #4 / F17) ---------------------------
     media_rows = ok_rows(KIND_MEDIA)
 
+    # --- needs_ocr passthrough (r3 VERDICT #6): image-only PDF pages surface
+    # as an explicit OCR work-list row instead of silently zero spans;
+    # independent of the searchable classifier (like media/html) -----------------
+    ocr_todo_rows = ok_rows(KIND_NEEDS_OCR)
+
     # --- assemble reading order ---------------------------------------------------
     parts = []
     if len(pdf_spans):
@@ -220,6 +230,20 @@ def extract_docs(
                     "kind": KIND_MEDIA,
                     "text": media_rows["text"],
                     "media_ref": media_rows["media_ref"],
+                }
+            )
+        )
+    if len(ocr_todo_rows):
+        parts.append(
+            pd.DataFrame(
+                {
+                    "doc_id": ocr_todo_rows["doc_id"],
+                    "in_off": ocr_todo_rows["offset"].astype(np.int64),
+                    "pos": ocr_todo_rows["pos"].astype(np.int64),
+                    "seq": 0,
+                    "kind": KIND_NEEDS_OCR,
+                    "text": None,
+                    "media_ref": ocr_todo_rows["media_ref"],
                 }
             )
         )

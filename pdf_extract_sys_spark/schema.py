@@ -128,13 +128,18 @@ CHECKPOINT_SCHEMA = T.StructType(
     ]
 )
 
-# Output span kinds
+# Output span kinds. needs_ocr (r3 VERDICT #6) marks an image-only PDF page
+# that reached extraction without a text representation: the documented
+# raster/OCR boundary made VISIBLE in the data — a real OCR stage's work-list
+# is exactly `WHERE kind = 'needs_ocr'` (media_ref names the page).
 KIND_TEXT = "text"
 KIND_MEDIA = "media"
 KIND_ERROR = "error"
+KIND_NEEDS_OCR = "needs_ocr"
 
-# Input span kinds (FIXTURES.md payload encodings)
+# Input span kinds (FIXTURES.md payload encodings). media and needs_ocr pass
+# through extraction unchanged (both are refs, not payloads).
 KIND_PDF_CHARS = "pdf_chars"
 KIND_OCR_WORDS = "ocr_words"
 KIND_HTML = "html"
-INPUT_KINDS = {KIND_PDF_CHARS, KIND_OCR_WORDS, KIND_HTML, KIND_MEDIA}
+INPUT_KINDS = {KIND_PDF_CHARS, KIND_OCR_WORDS, KIND_HTML, KIND_MEDIA, KIND_NEEDS_OCR}

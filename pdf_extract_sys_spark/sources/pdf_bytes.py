@@ -34,7 +34,9 @@ Supported surface (documented, honest):
   * simple-font decode: Latin-1 byte strings, /WinAnsiEncoding (CP1252) base
     encodings, and /Encoding /Differences arrays (AGL glyph-name subset +
     /uniXXXX names); char advance from /Widths + /FirstChar when present, else
-    a built-in standard-14 metric (Courier fixed 600/1000, flat average
+    a built-in standard-14 metric (Courier fixed 600/1000; per-char public AFM
+    ASCII tables for Helvetica/Times incl. Arial/TimesNewRoman aliases, with
+    Bold/Oblique variants approximated by the base face; flat average
     otherwise);
   * composite Type0/CID fonts with /Identity-H: 2-byte CID show strings,
     /DescendantFonts /W width arrays with /DW default, and /ToUnicode CMaps
@@ -81,11 +83,40 @@ _BASEFONT_RE = re.compile(rb"/BaseFont\s*/([A-Za-z0-9+#._-]+)")
 _NAME_KEY_RE = re.compile(rb"/([A-Za-z0-9#._+-]+)")
 _REF_AT_RE = re.compile(rb"\s*(\d+)\s+\d+\s+R")
 
-# public Courier metric: every glyph 600/1000 em. Other standard-14 faces get a
-# flat average (spacing fidelity is only needed for x-ordering, which a constant
-# width preserves; exact AFM tables are the documented refinement seam).
+# public Courier metric: every glyph 600/1000 em
 _FIXED_WIDTHS = {b"Courier": 600}
 _DEFAULT_WIDTH = 500
+
+# Standard-14 AFM metrics for the proportional faces (r3 VERDICT #7): per-char
+# ASCII 32..126 widths from Adobe's public Core-14 AFM files. A flat average
+# distorts x-extents (feeding O7 line/word clustering); the per-char table
+# keeps x-ordering faithful for no-/Widths PDFs. Bold/Oblique/Italic variants
+# and the Arial/TimesNewRoman aliases map to the base face — the residual
+# regular-vs-bold delta is small against the flat-500 error it replaces.
+_HELVETICA_W = [
+    278, 278, 355, 556, 556, 889, 667, 191, 333, 333, 389, 584, 278, 333, 278, 278,
+    556, 556, 556, 556, 556, 556, 556, 556, 556, 556, 278, 278, 584, 584, 584, 556,
+    1015, 667, 667, 722, 722, 667, 611, 778, 722, 278, 500, 667, 556, 833, 722, 778,
+    667, 778, 722, 667, 611, 722, 667, 944, 667, 667, 611, 278, 278, 278, 469, 556,
+    333, 556, 556, 500, 556, 556, 278, 556, 556, 222, 222, 500, 222, 833, 556, 556,
+    556, 556, 333, 500, 278, 556, 500, 722, 500, 500, 500, 334, 260, 334, 584,
+]
+_TIMES_W = [
+    250, 333, 408, 500, 500, 833, 778, 180, 333, 333, 500, 564, 250, 333, 250, 278,
+    500, 500, 500, 500, 500, 500, 500, 500, 500, 500, 278, 278, 564, 564, 564, 444,
+    921, 722, 667, 667, 722, 611, 556, 722, 722, 333, 389, 722, 611, 889, 722, 722,
+    556, 722, 667, 556, 611, 722, 722, 944, 722, 722, 611, 333, 278, 333, 469, 500,
+    333, 444, 500, 444, 500, 444, 333, 500, 500, 278, 278, 500, 278, 778, 500, 500,
+    500, 500, 333, 389, 278, 500, 500, 722, 500, 500, 444, 480, 200, 480, 541,
+]
+_AFM_ASCII = {
+    b"Helvetica": _HELVETICA_W,
+    b"Arial": _HELVETICA_W,
+    b"ArialMT": _HELVETICA_W,
+    b"Times": _TIMES_W,
+    b"TimesNewRoman": _TIMES_W,
+    b"TimesNewRomanPSMT": _TIMES_W,
+}
 
 
 class PdfParseError(ValueError):
@@ -585,11 +616,15 @@ _DEFAULT_FONT = _Font(False, _DEFAULT_WIDTH, {}, None)
 
 def _simple_widths(body: bytes) -> tuple[int, dict[int, int]]:
     default = _DEFAULT_WIDTH
+    table: dict[int, int] = {}
     bf = _BASEFONT_RE.search(body)
     if bf:
+        # strip subset prefix (ABCDEF+) and style suffix (-Bold, -Oblique, …)
         base = bf.group(1).split(b"+")[-1].split(b"-")[0]
         default = _FIXED_WIDTHS.get(base, _DEFAULT_WIDTH)
-    table: dict[int, int] = {}
+        afm = _AFM_ASCII.get(base)
+        if afm is not None:
+            table = {32 + i: w for i, w in enumerate(afm)}
     wm = _WIDTHS_RE.search(body)
     if wm:
         first = int(_FIRSTCHAR_RE.search(body).group(1)) if _FIRSTCHAR_RE.search(body) else 0
@@ -597,7 +632,8 @@ def _simple_widths(body: bytes) -> tuple[int, dict[int, int]]:
             vals = [int(float(v)) for v in wm.group(1).split()]
         except ValueError as e:
             raise PdfParseError("non-numeric /Widths entry") from e
-        table = {first + i: v for i, v in enumerate(vals)}
+        # explicit /Widths override the built-in AFM table per char code
+        table.update({first + i: v for i, v in enumerate(vals)})
     return default, table
 
 
@@ -1135,9 +1171,14 @@ def pdf_to_pdf_chars_payloads(data: bytes) -> list[str]:
 
 def pdf_binary_to_corpus(df):
     """Spark front-end: (doc_id string, pdf binary) → corpus (doc_id, spans)
-    with kind='pdf_chars' spans, offset = page index. Unparseable docs emit one
-    invalid span (text NULL) which the extraction pipeline turns into the
-    standard error sentinel. Arrow-batched mapInPandas; zero shuffles."""
+    with kind='pdf_chars' spans, offset = page index. A page that draws images
+    (XObject paints / inline images) but shows NO text becomes a
+    kind='needs_ocr' span with media_ref='page:<idx>' — the raster/OCR
+    boundary made visible in the data (r3 VERDICT #6): a real OCR stage's
+    work-list is `WHERE kind = 'needs_ocr'`, instead of image-only pages
+    silently yielding zero spans. Unparseable docs emit one invalid span
+    (text NULL) which the extraction pipeline turns into the standard error
+    sentinel. Arrow-batched mapInPandas; zero shuffles."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -1149,11 +1190,15 @@ def pdf_binary_to_corpus(df):
             spans_col = []
             for blob in pdf["pdf"]:
                 try:
-                    payloads = pdf_to_pdf_chars_payloads(bytes(blob))
+                    records = pdf_to_page_records(bytes(blob))
                     spans_col.append(
                         [
-                            {"kind": "pdf_chars", "text": p, "media_ref": None, "offset": i}
-                            for i, p in enumerate(payloads)
+                            {"kind": "needs_ocr", "text": None,
+                             "media_ref": f"page:{i}", "offset": i}
+                            if n_ev == 0 and n_img > 0
+                            else {"kind": "pdf_chars", "text": p,
+                                  "media_ref": None, "offset": i}
+                            for i, (p, n_ev, n_img) in enumerate(records)
                         ]
                     )
                 except Exception:

@@ -516,3 +516,89 @@ def test_malformed_objstm_skipped_when_pages_are_top_level():
            + b" /Filter /FlateDecode >>\nstream\n" + junk + b"\nendstream")
     pdf = pdf.replace(b"%%EOF", b"9 0 obj\n" + bad + b"\nendobj\n%%EOF")
     assert _extract_texts(pdf) == [LONG1, LONG2]
+
+
+# --- r3 VERDICT #6/#7: needs_ocr routing marker + AFM widths -----------------
+
+
+def test_image_only_page_emits_needs_ocr_span(spark):
+    """An image-only PDF page surfaces as (kind='needs_ocr',
+    media_ref='page:N') through the FULL bytes→corpus→extract chain — the OCR
+    work-list row — while text pages are unchanged."""
+    from pdf_extract_sys_spark.pipeline import extract_corpus
+    from pdf_extract_sys_spark.sources.pdf_bytes import pdf_binary_to_corpus
+
+    text_page = f"BT /F1 12 Tf 72 720 Td ({LONG1} {LONG2}) Tj ET".encode()
+    image_page = b"q 612 0 0 792 0 0 cm /Im1 Do Q"
+    pdf = make_pdf([text_page, image_page])
+    df = spark.createDataFrame([("mix-1", bytearray(pdf))], "doc_id string, pdf binary")
+    out = extract_corpus(pdf_binary_to_corpus(df)).collect()[0]
+    spans = [(s["kind"], s["text"], s["media_ref"]) for s in out["spans"]]
+    assert spans == [
+        ("text", LONG1, None),
+        ("text", LONG2, None),
+        ("needs_ocr", None, "page:1"),
+    ]
+    assert not out["parse_failed"]
+
+
+def test_pure_image_pdf_needs_ocr_not_zero_spans(spark):
+    from pdf_extract_sys_spark.pipeline import extract_corpus
+    from pdf_extract_sys_spark.sources.pdf_bytes import pdf_binary_to_corpus
+
+    pdf = make_pdf([b"q /Im1 Do Q", b"BI /W 1 /H 1 ID \x00\nEI"])
+    df = spark.createDataFrame([("scan-2", bytearray(pdf))], "doc_id string, pdf binary")
+    out = extract_corpus(pdf_binary_to_corpus(df)).collect()[0]
+    assert [(s["kind"], s["media_ref"], s["offset"]) for s in out["spans"]] == [
+        ("needs_ocr", "page:0", 0), ("needs_ocr", "page:1", 1)
+    ]
+    assert not out["parse_failed"] and out["n_spans"] == 2
+
+
+def test_truly_empty_page_still_yields_zero_spans():
+    """A page with NO content (no text, no images) keeps the old behavior:
+    zero spans, no needs_ocr, no sentinel."""
+    import pandas as pd
+
+    from pdf_extract_sys_spark.extract import extract_batch_pandas
+    from pdf_extract_sys_spark.sources.pdf_bytes import pdf_to_page_records
+
+    recs = pdf_to_page_records(make_pdf([b"q Q"]))
+    assert recs == [("PAGE\t612\t792", 0, 0)]
+
+
+def test_helvetica_afm_widths_no_widths_array():
+    """A Helvetica font with no /Widths uses the public AFM per-char table:
+    'Aim' at 10pt → A=667, i=222, m=833 thousandths."""
+    pdf = make_pdf([b"BT /F1 10 Tf 0 700 Td (Aim) Tj ET"])
+    pdf = pdf.replace(b"/BaseFont /Courier", b"/BaseFont /Helvetica")
+    payload = pdf_to_pdf_chars_payloads(pdf)[0]
+    recs = [ln.split("\t") for ln in payload.split("\n")[1:]]
+    xs = [(float(r[1]), float(r[3])) for r in recs]
+    assert abs(xs[0][1] - xs[0][0] - 6.67) < 1e-6   # A
+    assert abs(xs[1][1] - xs[1][0] - 2.22) < 1e-6   # i
+    assert abs(xs[2][1] - xs[2][0] - 8.33) < 1e-6   # m
+    assert abs(xs[1][0] - 6.67) < 1e-6 and abs(xs[2][0] - 8.89) < 1e-6
+
+
+def test_times_alias_and_bold_variant_map_to_base_table():
+    pdf = make_pdf([b"BT /F1 10 Tf 0 700 Td (W.) Tj ET"])
+    for name in (b"/BaseFont /Times-Roman", b"/BaseFont /TimesNewRomanPSMT",
+                 b"/BaseFont /ABCDEF+Times-BoldItalic"):
+        p = pdf.replace(b"/BaseFont /Courier", name)
+        recs = [ln.split("\t") for ln in
+                pdf_to_pdf_chars_payloads(p)[0].split("\n")[1:]]
+        assert abs(float(recs[0][3]) - 9.44) < 1e-6   # W = 944
+        assert abs(float(recs[1][3]) - float(recs[1][1]) - 2.50) < 1e-6  # . = 250
+
+
+def test_explicit_widths_override_afm():
+    pdf = make_pdf([b"BT /F1 10 Tf 0 700 Td (AB) Tj ET"])
+    pdf = pdf.replace(
+        b"/BaseFont /Courier >>",
+        b"/BaseFont /Helvetica /FirstChar 65 /Widths [100] >>",
+    )
+    recs = [ln.split("\t") for ln in
+            pdf_to_pdf_chars_payloads(pdf)[0].split("\n")[1:]]
+    assert abs(float(recs[0][3]) - 1.0) < 1e-6           # /Widths wins for A
+    assert abs(float(recs[1][3]) - 1.0 - 6.67) < 1e-6    # AFM still covers B
