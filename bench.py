@@ -301,7 +301,7 @@ def main() -> None:
                 # queries (ngram/clusters) then reuse the memoized pairs —
                 # the suite's one-signature-computation accounting charges
                 # the shared upstream to this query
-                Q._LSH_CAND_CACHE.clear()
+                Q.clear_lsh_cache()
             t0 = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.monotonic() - t0)

@@ -482,8 +482,39 @@ _LSH_BAND_CAP = 128
 # #5). Bounded so long test sessions with many temp sf_dirs don't pin
 # checkpoint blocks forever (evicted entries are freed by the ContextCleaner
 # once the DataFrame reference is dropped).
-_LSH_CAND_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+_LSH_CAND_CACHE: dict[tuple, DataFrame] = {}
 _LSH_CAND_CACHE_MAX = 8
+
+
+def _documents_fingerprint(sf_dir: str) -> tuple:
+    """(name, mtime_ns, size) of the documents parquet file(s) under sf_dir —
+    part of the LSH memo key (r3 ADVICE): rewriting the table under the same
+    path within one Spark application invalidates the memo instead of serving
+    stale pairs, keeping the query functions pure over their inputs."""
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    out: list[tuple] = []
+    try:
+        if os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                st = os.stat(os.path.join(p, f))
+                out.append((f, st.st_mtime_ns, st.st_size))
+        else:
+            st = os.stat(p)
+            out.append(("", st.st_mtime_ns, st.st_size))
+    except OSError:
+        pass
+    return tuple(out)
+
+
+def clear_lsh_cache() -> None:
+    """Drop every memoized candidate-pairs table. The checkpoint blocks are
+    freed by Spark's ContextCleaner once the last reference is gone. Call after
+    mutating a table under a previously-queried sf_dir path in-place without
+    changing file mtimes/sizes (normal rewrites are caught by the
+    fingerprint in the memo key automatically)."""
+    _LSH_CAND_CACHE.clear()
 
 
 def lsh_candidate_pairs(
@@ -498,8 +529,20 @@ def lsh_candidate_pairs(
     persisted for the duration of the self-join only and UNPERSISTED once the
     pairs are materialized (r2 ADVICE: the persist leak); the pairs themselves
     are localCheckpoint'ed (eager) — lineage-truncated, computed exactly once,
-    and freed by Spark's ContextCleaner when the last reference drops."""
-    key = (spark.sparkContext.applicationId, sf_dir, band_cap)
+    and freed by Spark's ContextCleaner when the last reference drops.
+
+    MEMOIZATION CONTRACT: results are cached per (applicationId, sf_dir,
+    band_cap, documents-file fingerprint). The fingerprint (file names +
+    mtimes + sizes) invalidates the memo when the table is rewritten; an
+    in-place mutation that preserves mtime and size (artificial) needs an
+    explicit :func:`clear_lsh_cache`. The cache holds at most
+    ``_LSH_CAND_CACHE_MAX`` entries (FIFO eviction)."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        band_cap,
+        _documents_fingerprint(sf_dir),
+    )
     got = _LSH_CAND_CACHE.get(key)
     if got is not None:
         return got
@@ -1393,17 +1436,26 @@ def documents_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_extract_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END extraction through the real kernels (mapInArrow), oracled by a SQL
     re-derivation of the expected sentence spans. The synthesized corpus is
-    persisted: extract_corpus branches into normal/mega sub-plans, and without a
-    cache the synthesis mapInArrow would execute once per branch."""
+    persisted (extract_corpus branches into normal/mega sub-plans; without a
+    cache the synthesis mapInArrow would execute once per branch), the result
+    eagerly localCheckpoint'ed, and the corpus cache RELEASED before returning
+    (r3 VERDICT #5 — same lifecycle as q_extract_dedup; repeated library calls
+    must not accumulate cached corpora)."""
     from .pipeline import extract_corpus
 
     corpus = documents_to_corpus(spark, sf_dir).persist()
-    out = extract_corpus(corpus)
-    return out.select("doc_id", F.explode("spans").alias("s")).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("s.offset").alias("span_offset"),
-        F.col("s.text").alias("span_text"),
+    out = (
+        extract_corpus(corpus)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("s.offset").alias("span_offset"),
+            F.col("s.text").alias("span_text"),
+        )
+        .localCheckpoint(eager=True)
     )
+    corpus.unpersist()
+    return out
 
 
 SQL_EXTRACT = f"""
