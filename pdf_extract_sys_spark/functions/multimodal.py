@@ -150,9 +150,12 @@ def _sniff_media_raw(b: bytes):
 
 def _decode_bmp(b: bytes) -> np.ndarray | None:
     """REAL pixel decode for uncompressed BI_RGB BMP (8/24/32 bpp) — needs only
-    struct+numpy, no codec library (public BITMAPINFOHEADER layout). Returns
-    channel values normalized to [0,1] in row-major top-down order, or None if
-    the blob isn't a decodable BMP variant."""
+    struct+numpy, no codec library (public BITMAPINFOHEADER layout). 8-bpp
+    images resolve their MANDATORY BGRA color table (it sits between the header
+    and the pixel data, codec-free — r3 ADVICE: raw palette indices are not
+    intensities) to per-pixel BGR channels. Returns channel values normalized
+    to [0,1] in row-major top-down order, or None if the blob isn't a
+    decodable BMP variant."""
     try:
         if not b.startswith(b"BM") or len(b) < 54:
             return None
@@ -177,6 +180,18 @@ def _decode_bmp(b: bytes) -> np.ndarray | None:
         rows = raw.reshape(h, stride)[:, : (bpp // 8) * w]
         if not top_down:
             rows = rows[::-1]
+        if bpp == 8:
+            clr_used = struct.unpack_from("<I", b, 46)[0]
+            n_pal = clr_used if 0 < clr_used <= 256 else 256
+            pal_off = 14 + hdr_size
+            if pal_off + 4 * n_pal > data_off or pal_off + 4 * n_pal > len(b):
+                return None  # palette missing/truncated: not decodable as real
+            pal = np.frombuffer(b, dtype=np.uint8, count=4 * n_pal, offset=pal_off)
+            pal = pal.reshape(n_pal, 4)[:, :3]  # BGRA quads → BGR
+            idx = np.ascontiguousarray(rows)
+            if idx.max(initial=0) >= n_pal:
+                return None  # index beyond the color table: corrupt blob
+            return pal[idx].astype(np.float32).ravel() / 255.0
         return np.ascontiguousarray(rows).astype(np.float32).ravel() / 255.0
     except (struct.error, ValueError):
         return None

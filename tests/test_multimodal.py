@@ -187,3 +187,61 @@ def test_media_from_corpus(spark):
     feats = extract_media_features(media).collect()
     kinds = {r["media_ref"]: r["media_kind"] for r in feats}
     assert kinds == {"img-9": "image", "vid-7": "video"}
+
+
+def _bmp8_bytes(w=4, h=2, palette=None, idx=None, n_pal=256):
+    """8-bpp BMP with a BGRA color table (the mandatory palette)."""
+    import struct
+
+    palette = palette or {}
+    pal = bytearray()
+    for i in range(n_pal):
+        b_, g, r = palette.get(i, (i, i, i))
+        pal += bytes([b_, g, r, 0])
+    stride = ((8 * w + 31) // 32) * 4
+    rows = bytearray()
+    for y in range(h):
+        row = bytearray(bytes([idx(x, y) if idx else 0 for x in range(w)]))
+        row += b"\x00" * (stride - len(row))
+        rows += row
+    data_off = 14 + 40 + len(pal)
+    size = data_off + len(rows)
+    return (b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(rows), 2835, 2835,
+                          n_pal, 0)
+            + bytes(pal) + bytes(rows))
+
+
+def test_bmp_8bpp_palette_resolved(spark):
+    """8-bpp indices resolve through the color table (r3 ADVICE): index 0 maps
+    to WHITE here, so features must read intensity 1.0 — raw-index decoding
+    would read 0.0."""
+    bmp = _bmp8_bytes(palette={0: (255, 255, 255)}, idx=lambda x, y: 0)
+    df = spark.createDataFrame([("bmp8-1", "image", bmp)], MEDIA_SCHEMA)
+    r = extract_media_features(df).collect()[0]
+    assert r["sniffed_format"] == "bmp" and r["real_decode"] is True
+    assert abs(r["feature"][0] - 1.0) < 1e-6 and abs(r["feature"][1]) < 1e-6
+
+
+def test_bmp_8bpp_without_palette_falls_back(spark):
+    """A paletteless 8-bpp blob (pixel data straight after the header) cannot
+    claim real decoded features — deterministic stand-in, real_decode=False."""
+    import struct
+
+    w, h = 4, 2
+    stride = ((8 * w + 31) // 32) * 4
+    rows = bytes(stride * h)
+    data_off = 54
+    bmp = (b"BM" + struct.pack("<IHHI", data_off + len(rows), 0, 0, data_off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(rows), 2835, 2835, 0, 0)
+           + rows)
+    df = spark.createDataFrame([("bmp8-2", "image", bmp)], MEDIA_SCHEMA)
+    r = extract_media_features(df).collect()[0]
+    assert r["sniffed_format"] == "bmp" and r["real_decode"] is False
+
+
+def test_bmp_8bpp_index_beyond_palette_falls_back(spark):
+    bmp = _bmp8_bytes(n_pal=4, idx=lambda x, y: 200)  # index 200 > 3
+    df = spark.createDataFrame([("bmp8-3", "image", bmp)], MEDIA_SCHEMA)
+    r = extract_media_features(df).collect()[0]
+    assert r["real_decode"] is False
