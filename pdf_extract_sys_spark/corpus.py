@@ -227,9 +227,17 @@ def corpus_to_spark(spark, pdf: pd.DataFrame):
     return spark.createDataFrame(pdf.to_dict("records"), schema=CORPUS_SCHEMA)
 
 
-def write_corpus_parquet(pdf: pd.DataFrame, path: str, n_files: int = 64) -> None:
-    """Write a pandas corpus straight to a multi-file parquet directory with the
-    fixed Arrow schema — no JVM involved (generation-side utility)."""
+def write_corpus_parquet(pdf: pd.DataFrame, path: str, n_files: int = 64,
+                         row_group_size: int = 64) -> None:
+    """Write a pandas corpus straight to a multi-file parquet directory — no
+    JVM involved (generation-side utility).
+
+    Alongside the fixed (doc_id, spans) columns an ``n_spans`` STATS COLUMN is
+    written (span count per doc): a plain int the engine's normal/mega routing
+    predicate can push down to the parquet reader, so row-group min/max stats
+    prune the skew-tail scans instead of re-decoding every span array (see
+    extract_corpus ``size_col``). Small row groups keep the stats selective —
+    at 100 TB the ingest writer does exactly this."""
     import os
     import shutil
 
@@ -249,8 +257,11 @@ def write_corpus_parquet(pdf: pd.DataFrame, path: str, n_files: int = 64) -> Non
             {
                 "doc_id": pa.array(chunk["doc_id"].tolist(), type=pa.string()),
                 "spans": pa.array(chunk["spans"].tolist(), type=CORPUS_ARROW.field("spans").type),
+                "n_spans": pa.array(
+                    [len(s) for s in chunk["spans"]], type=pa.int32()
+                ),
             },
-            schema=CORPUS_ARROW,
         )
-        pq.write_table(tbl, f"{path}/part-{i:05d}.parquet")
+        pq.write_table(tbl, f"{path}/part-{i:05d}.parquet",
+                       row_group_size=row_group_size)
     open(f"{path}/_SUCCESS", "w").close()

@@ -135,12 +135,22 @@ def extract_corpus(
     *,
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     salted_parallelism: int | None = None,
+    size_col: str | None = None,
 ) -> DataFrame:
     """corpus (doc_id, spans) → EXTRACTED_SCHEMA (doc_id, spans, n_spans,
-    parse_failed, bytes_in). Normal docs shuffle-free; skewed mega-docs salted."""
-    base = corpus.select("doc_id", "spans")
-    normal = base.filter(F.size("spans") <= F.lit(salt_threshold))
-    mega = base.filter(F.size("spans") > F.lit(salt_threshold))
+    parse_failed, bytes_in). Normal docs shuffle-free; skewed mega-docs salted.
+
+    ``size_col`` names an OPTIONAL precomputed span-count column (see
+    write_corpus_parquet) used for the normal/mega routing predicate instead of
+    ``size(spans)``. The difference matters at scale: ``size(spans)`` cannot
+    reach the parquet reader, so the mega branch and its routing sub-plan
+    re-decode the ENTIRE corpus to find the skew tail; a plain int column
+    pushes down (PushedFilters) and prunes via row-group statistics, so the
+    mega-side scans touch only the row groups that actually contain mega docs
+    — the standard stats-column skew-routing pattern for 100 TB tables."""
+    size_expr = F.col(size_col) if size_col else F.size("spans")
+    normal = corpus.filter(size_expr <= F.lit(salt_threshold)).select("doc_id", "spans")
+    mega = corpus.filter(size_expr > F.lit(salt_threshold)).select("doc_id", "spans")
     out_normal = normal.mapInArrow(extract_map_in_arrow, EXTRACTED_SCHEMA)
     out_mega = _extract_salted(mega, salted_parallelism)
     return out_normal.unionByName(out_mega)

@@ -104,3 +104,30 @@ def test_lsh_pairs_materialized_once_and_shared(spark):
     assert "md5" not in plan, plan
     # memoized: same object handed to every consumer in this application
     assert lsh_candidate_pairs(spark, SF) is df
+
+
+def test_size_col_routing_matches_default_and_prunes(spark, tmp_path):
+    """The n_spans stats column (write_corpus_parquet) must (a) route
+    identically to size(spans), and (b) reach the parquet scan as a pushed
+    filter so row-group stats prune the mega-side scans (the 100 TB skew-
+    routing pattern)."""
+    from pdf_extract_sys_spark.corpus import write_corpus_parquet
+
+    p = str(tmp_path / "stats_corpus")
+    pdf = C.generate_corpus(60, seed=7, mega_doc_every=20, mega_doc_pages=12)
+    write_corpus_parquet(pdf, p, n_files=4, row_group_size=8)
+    src = spark.read.parquet(p)
+    a = extract_corpus(src, salt_threshold=8)
+    b = extract_corpus(src, salt_threshold=8, size_col="n_spans")
+
+    def norm(df):
+        rows = df.collect()
+        return sorted(
+            (r["doc_id"], r["n_spans"], r["parse_failed"], r["bytes_in"],
+             tuple((s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]))
+            for r in rows
+        )
+
+    assert norm(a) == norm(b)
+    plan = plan_of(b)
+    assert "PushedFilters" in plan and "n_spans" in plan
