@@ -116,6 +116,7 @@ _AFM_ASCII = {
     b"Times": _TIMES_W,
     b"TimesNewRoman": _TIMES_W,
     b"TimesNewRomanPSMT": _TIMES_W,
+    b"TimesNewRomanPS": _TIMES_W,  # TimesNewRomanPS-BoldMT → strip at '-'
 }
 
 
