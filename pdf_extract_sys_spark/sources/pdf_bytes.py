@@ -30,7 +30,9 @@ Supported surface (documented, honest):
     RC4/AES payloads to mojibake;
   * text operators: BT/ET, Tf, Td, TD, TL, T*, Tm, Tj, TJ (with kerning
     adjustments), ' and " (next-line-show); () strings with escapes and <> hex
-    strings;
+    strings; FULL affine positioning — Tm/Tlm are real 2x3 matrices and the
+    graphics state tracks the CTM (`cm` concatenation, q/Q stack), so rotated,
+    scaled, and sheared text maps to faithful device-space envelopes;
   * simple-font decode: Latin-1 byte strings, /WinAnsiEncoding (CP1252) base
     encodings, and /Encoding /Differences arrays (AGL glyph-name subset +
     /uniXXXX names); char advance from /Widths + /FirstChar when present, else
@@ -46,10 +48,9 @@ Out of scope (the marked seam, mirroring the multimodal codec stub): non-
 Identity CMap encodings (CJK ordering CMaps are codec-grade tables),
 codec-bound stream filters (DCTDecode/JPXDecode/CCITTFaxDecode/JBIG2Decode),
 encrypted-document DECRYPTION (detection is in scope — /Encrypt ⇒ sentinel),
-and rotation matrices with shear (only translation + uniform scale of Tm are
-applied to positions). A PDF outside this surface degrades per doc to the
-standard error sentinel — the job never aborts (sentinel contract,
-main.py:361-372).
+and character/word spacing + text rise (Tc/Tw/Ts advance adjustments). A PDF
+outside this surface degrades per doc to the standard error sentinel — the
+job never aborts (sentinel contract, main.py:361-372).
 
 Spark integration: ``pdf_binary_to_corpus`` maps a (doc_id, pdf binary) frame to
 the corpus schema via mapInPandas (Arrow-batched; per-blob parsing is inherent
@@ -890,20 +891,52 @@ def _tokenize(stream: bytes):
 _UNRESOLVED_FONT = _Font(False, _DEFAULT_WIDTH, {}, None)
 
 
+# 2x3 affine matrices as (a, b, c, d, e, f): (u,v) -> (a*u+c*v+e, b*u+d*v+f)
+_IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mmul(m: tuple, n: tuple) -> tuple:
+    """Apply m then n (PDF concatenation order: m × n)."""
+    ma, mb, mc, md, me, mf = m
+    na, nb, nc, nd, ne, nf = n
+    return (
+        ma * na + mb * nc,
+        ma * nb + mb * nd,
+        mc * na + md * nc,
+        mc * nb + md * nd,
+        me * na + mf * nc + ne,
+        me * nb + mf * nd + nf,
+    )
+
+
+def _mapply(m: tuple, u: float, v: float) -> tuple[float, float]:
+    a, b, c, d, e, f = m
+    return (a * u + c * v + e, b * u + d * v + f)
+
+
 def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None]):
     """Execute the text-positioning subset of the content stream. Returns
     (events, n_image_ops): events = (codepoint, x0, y0, x1, y1) per shown char
     in show order (PDF points, bottom-left origin — the FIXTURES.md pdf_chars
     contract); n_image_ops counts XObject paints (Do) and inline images — the
-    signal the OCR-routing marker uses for image-only pages."""
+    signal the OCR-routing marker uses for image-only pages.
+
+    Positioning is the FULL matrix model (round 4; previously translation +
+    uniform scale only): the text matrix Tm and line matrix Tlm are real 2x3
+    affine transforms, the graphics state keeps a CTM with `cm` concatenation
+    and a q/Q stack, and each glyph's text-space box (x_disp, 0)-(x_disp+adv,
+    size) maps through Tm × CTM — so rotated (90°/landscape) and
+    sheared/scaled text gets faithful device-space envelopes, matching
+    pdfium's charbox behavior (main.py:404-422). The emitted bbox is the
+    axis-aligned envelope of the transformed corners."""
     size = 12.0
     font = _DEFAULT_FONT
     leading = 0.0
-    # text matrix: only translation (e, f) and uniform scale (a) are applied
-    tm_a = 1.0
-    tm_e = tm_f = 0.0
-    lm_e = lm_f = 0.0
-    x = y = 0.0
+    tm = _IDENTITY  # text matrix
+    tlm = _IDENTITY  # line matrix
+    ctm = _IDENTITY
+    ctm_stack: list[tuple] = []
+    xd = 0.0  # accumulated show displacement along the text-space x axis
     stack: list = []
     events: list[tuple[int, float, float, float, float]] = []
     n_image_ops = 0
@@ -911,7 +944,7 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None]):
     array_items: list = []
 
     def show(sb: bytes) -> None:
-        nonlocal x
+        nonlocal xd
         if font is _UNRESOLVED_FONT:
             raise PdfParseError("show op references unresolved font resource")
         if font.cid:
@@ -920,16 +953,27 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None]):
         else:
             codes = list(sb)
         dec = font.decode
+        trm = _mmul(tm, ctm)
         for code in codes:
-            w = font.widths.get(code, font.default_w) / 1000.0 * size * tm_a
+            adv = font.widths.get(code, font.default_w) / 1000.0 * size
             cp = dec.get(code, code) if dec is not None else code
-            events.append((cp, x, y, x + w, y + size * tm_a))
-            x += w
+            p0 = _mapply(trm, xd, 0.0)
+            p1 = _mapply(trm, xd + adv, 0.0)
+            p2 = _mapply(trm, xd, size)
+            p3 = _mapply(trm, xd + adv, size)
+            xs = (p0[0], p1[0], p2[0], p3[0])
+            ys = (p0[1], p1[1], p2[1], p3[1])
+            events.append((cp, min(xs), min(ys), max(xs), max(ys)))
+            xd += adv
+
+    def set_line_matrix(m: tuple) -> None:
+        nonlocal tm, tlm, xd
+        tlm = m
+        tm = m
+        xd = 0.0
 
     def newline() -> None:
-        nonlocal lm_e, lm_f, x, y
-        lm_f -= leading * tm_a
-        x, y = lm_e, lm_f
+        set_line_matrix(_mmul((1.0, 0.0, 0.0, 1.0, 0.0, -leading), tlm))
 
     for tok in _tokenize(content):
         if tok is _IMG_TOKEN:
@@ -968,35 +1012,39 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None]):
                 stack.clear()
             elif op == b"Td":
                 ty, tx = float(stack[-1]), float(stack[-2])
-                lm_e += tx * tm_a
-                lm_f += ty * tm_a
-                x, y = lm_e, lm_f
+                set_line_matrix(_mmul((1.0, 0.0, 0.0, 1.0, tx, ty), tlm))
                 stack.clear()
             elif op == b"TD":
                 ty, tx = float(stack[-1]), float(stack[-2])
                 leading = -ty
-                lm_e += tx * tm_a
-                lm_f += ty * tm_a
-                x, y = lm_e, lm_f
+                set_line_matrix(_mmul((1.0, 0.0, 0.0, 1.0, tx, ty), tlm))
                 stack.clear()
             elif op == b"TL":
                 leading = float(stack[-1])
                 stack.clear()
             elif op == b"Tm":
-                f_, e_, _d, _c, _b, a_ = (float(stack[-i]) for i in range(1, 7))
-                tm_a = a_ if a_ else 1.0
-                tm_e, tm_f = e_, f_
-                lm_e, lm_f = tm_e, tm_f
-                x, y = lm_e, lm_f
+                f_, e_, d_, c_, b_, a_ = (float(stack[-i]) for i in range(1, 7))
+                if a_ == b_ == c_ == d_ == 0.0:
+                    a_, d_ = 1.0, 1.0  # degenerate linear part: keep identity
+                set_line_matrix((a_, b_, c_, d_, e_, f_))
                 stack.clear()
             elif op == b"T*":
                 newline()
                 stack.clear()
             elif op == b"BT":
-                tm_a, tm_e, tm_f = 1.0, 0.0, 0.0
-                lm_e = lm_f = x = y = 0.0
+                set_line_matrix(_IDENTITY)
                 stack.clear()
             elif op == b"ET":
+                stack.clear()
+            elif op == b"cm":
+                f_, e_, d_, c_, b_, a_ = (float(stack[-i]) for i in range(1, 7))
+                ctm = _mmul((a_, b_, c_, d_, e_, f_), ctm)
+                stack.clear()
+            elif op == b"q":
+                ctm_stack.append(ctm)
+                stack.clear()
+            elif op == b"Q":
+                ctm = ctm_stack.pop() if ctm_stack else _IDENTITY
                 stack.clear()
             elif op == b"Tj":
                 kind, sb = stack[-1]
@@ -1019,8 +1067,8 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None]):
                 for item in arr:
                     if isinstance(item, tuple):
                         show(item[1])
-                    else:  # kerning adjustment, thousandths of em
-                        x -= float(item) / 1000.0 * size * tm_a
+                    else:  # kerning adjustment, thousandths of em (text space)
+                        xd -= float(item) / 1000.0 * size
                 stack.clear()
             elif op == b"Do":
                 # XObject paint (image or form) — the image-only-page signal
