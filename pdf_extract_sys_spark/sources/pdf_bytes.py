@@ -32,7 +32,9 @@ Supported surface (documented, honest):
     adjustments), ' and " (next-line-show); () strings with escapes and <> hex
     strings; FULL affine positioning — Tm/Tlm are real 2x3 matrices and the
     graphics state tracks the CTM (`cm` concatenation, q/Q stack), so rotated,
-    scaled, and sheared text maps to faithful device-space envelopes;
+    scaled, and sheared text maps to faithful device-space envelopes; text
+    state Tc (char spacing), Tw (word spacing, single-byte code 32), Ts
+    (rise), Tz (horizontal scaling) applied to advances and glyph boxes;
   * simple-font decode: Latin-1 byte strings, /WinAnsiEncoding (CP1252) base
     encodings, and /Encoding /Differences arrays (AGL glyph-name subset +
     /uniXXXX names); char advance from /Widths + /FirstChar when present, else
@@ -47,10 +49,9 @@ Supported surface (documented, honest):
 Out of scope (the marked seam, mirroring the multimodal codec stub): non-
 Identity CMap encodings (CJK ordering CMaps are codec-grade tables),
 codec-bound stream filters (DCTDecode/JPXDecode/CCITTFaxDecode/JBIG2Decode),
-encrypted-document DECRYPTION (detection is in scope — /Encrypt ⇒ sentinel),
-and character/word spacing + text rise (Tc/Tw/Ts advance adjustments). A PDF
-outside this surface degrades per doc to the standard error sentinel — the
-job never aborts (sentinel contract, main.py:361-372).
+and encrypted-document DECRYPTION (detection is in scope — /Encrypt ⇒
+sentinel). A PDF outside this surface degrades per doc to the standard error
+sentinel — the job never aborts (sentinel contract, main.py:361-372).
 
 Spark integration: ``pdf_binary_to_corpus`` maps a (doc_id, pdf binary) frame to
 the corpus schema via mapInPandas (Arrow-batched; per-blob parsing is inherent
@@ -932,6 +933,10 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None]):
     size = 12.0
     font = _DEFAULT_FONT
     leading = 0.0
+    char_sp = 0.0  # Tc
+    word_sp = 0.0  # Tw (single-byte code 32 only, per spec)
+    rise = 0.0  # Ts
+    hscale = 1.0  # Tz / 100
     tm = _IDENTITY  # text matrix
     tlm = _IDENTITY  # line matrix
     ctm = _IDENTITY
@@ -955,12 +960,13 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None]):
         dec = font.decode
         trm = _mmul(tm, ctm)
         for code in codes:
-            adv = font.widths.get(code, font.default_w) / 1000.0 * size
+            gw = font.widths.get(code, font.default_w) / 1000.0 * size * hscale
+            adv = gw + (char_sp + (word_sp if not font.cid and code == 32 else 0.0)) * hscale
             cp = dec.get(code, code) if dec is not None else code
-            p0 = _mapply(trm, xd, 0.0)
-            p1 = _mapply(trm, xd + adv, 0.0)
-            p2 = _mapply(trm, xd, size)
-            p3 = _mapply(trm, xd + adv, size)
+            p0 = _mapply(trm, xd, rise)
+            p1 = _mapply(trm, xd + gw, rise)
+            p2 = _mapply(trm, xd, rise + size)
+            p3 = _mapply(trm, xd + gw, rise + size)
             xs = (p0[0], p1[0], p2[0], p3[0])
             ys = (p0[1], p1[1], p2[1], p3[1])
             events.append((cp, min(xs), min(ys), max(xs), max(ys)))
@@ -1022,6 +1028,18 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None]):
             elif op == b"TL":
                 leading = float(stack[-1])
                 stack.clear()
+            elif op == b"Tc":
+                char_sp = float(stack[-1])
+                stack.clear()
+            elif op == b"Tw":
+                word_sp = float(stack[-1])
+                stack.clear()
+            elif op == b"Ts":
+                rise = float(stack[-1])
+                stack.clear()
+            elif op == b"Tz":
+                hscale = float(stack[-1]) / 100.0
+                stack.clear()
             elif op == b"Tm":
                 f_, e_, d_, c_, b_, a_ = (float(stack[-i]) for i in range(1, 7))
                 if a_ == b_ == c_ == d_ == 0.0:
@@ -1056,8 +1074,9 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None]):
                 show(sb)
                 stack.clear()
             elif op == b'"':
-                # aw ac string " — word/char spacing set then next-line-show;
-                # the spacing operands are ignored (uniform-advance surface)
+                # aw ac string " — set word/char spacing, then next-line-show
+                word_sp = float(stack[-3])
+                char_sp = float(stack[-2])
                 newline()
                 kind, sb = stack[-1]
                 show(sb)
@@ -1068,7 +1087,7 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None]):
                     if isinstance(item, tuple):
                         show(item[1])
                     else:  # kerning adjustment, thousandths of em (text space)
-                        xd -= float(item) / 1000.0 * size
+                        xd -= float(item) / 1000.0 * size * hscale
                 stack.clear()
             elif op == b"Do":
                 # XObject paint (image or form) — the image-only-page signal

@@ -651,3 +651,36 @@ def test_translation_scale_unchanged_vs_matrix_rewrite():
     b = [float(v) for v in recs[1][1:5]]
     assert a == [72.0, 700.0, 84.0, 720.0]
     assert b == [84.0, 700.0, 96.0, 720.0]
+
+
+def test_tc_tw_spacing_advances():
+    """Tc adds to every advance; Tw additionally to single-byte spaces."""
+    pdf = make_pdf([b"BT /F1 10 Tf 5 Tc 4 Tw 0 0 Td (A B) Tj ET"])
+    recs = [ln.split("\t") for ln in pdf_to_pdf_chars_payloads(pdf)[0].split("\n")[1:]]
+    xs = [(float(r[1]), float(r[3])) for r in recs]
+    # Courier adv 6: A box [0,6]; space starts 11 (6+Tc5); B starts 11+6+5+4=26
+    assert xs[0] == (0.0, 6.0)
+    assert xs[1][0] == 11.0
+    assert xs[2][0] == 26.0
+
+
+def test_tz_horizontal_scaling():
+    pdf = make_pdf([b"BT /F1 10 Tf 50 Tz 0 0 Td (AB) Tj ET"])
+    recs = [ln.split("\t") for ln in pdf_to_pdf_chars_payloads(pdf)[0].split("\n")[1:]]
+    assert [float(v) for v in recs[0][1:5]] == [0.0, 0.0, 3.0, 10.0]
+    assert float(recs[1][1]) == 3.0
+
+
+def test_ts_rise_offsets_box():
+    pdf = make_pdf([b"BT /F1 10 Tf 0 100 Td 5 Ts (A) Tj ET"])
+    recs = [ln.split("\t") for ln in pdf_to_pdf_chars_payloads(pdf)[0].split("\n")[1:]]
+    assert [float(v) for v in recs[0][1:5]] == [0.0, 105.0, 6.0, 115.0]
+
+
+def test_dquote_sets_spacing():
+    pdf = make_pdf([b"BT /F1 10 Tf 14 TL 0 100 Td 4 5 (A B) \" ET"])
+    recs = [ln.split("\t") for ln in pdf_to_pdf_chars_payloads(pdf)[0].split("\n")[1:]]
+    xs = [float(r[1]) for r in recs]
+    # aw=4 ac=5: A at 0, space at 11 (6+5), B at 11+6+5+4=26; line dropped 14
+    assert xs == [0.0, 11.0, 26.0]
+    assert float(recs[0][2]) == 86.0
