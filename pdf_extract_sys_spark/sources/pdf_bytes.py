@@ -44,7 +44,12 @@ Supported surface (documented, honest):
     otherwise);
   * composite Type0/CID fonts with /Identity-H: 2-byte CID show strings,
     /DescendantFonts /W width arrays with /DW default, and /ToUnicode CMaps
-    (bfchar + bfrange, incl. array-form ranges) for codepoint mapping.
+    (bfchar + bfrange, incl. array-form ranges) for codepoint mapping;
+  * Form XObjects: `Do` on a /Subtype /Form EXECUTES the form's content
+    stream inline (own /Resources when present else the caller's, /Matrix
+    concatenated onto the CTM, bounded nesting) — text in stamps/letterheads/
+    LaTeX pgf output is extracted, not dropped; image XObjects and
+    unresolvable names count toward the needs-OCR signal instead.
 
 Out of scope (the marked seam, mirroring the multimodal codec stub): non-
 Identity CMap encodings (CJK ordering CMaps are codec-grade tables),
@@ -723,6 +728,39 @@ def _page_resources(objs: dict[int, bytes], page_body: bytes) -> bytes | None:
     return None
 
 
+def _res_dict_entries(
+    objs: dict[int, bytes], container: bytes, key: bytes
+) -> dict[bytes, bytes | None]:
+    """Entries of the /key sub-dictionary of a /Resources dict (or page body):
+    resource name → object body (indirect refs resolved, inline dicts sliced).
+    A name whose referenced object is missing maps to None."""
+    d = _dict_value(container, key, objs)
+    out: dict[bytes, bytes | None] = {}
+    if d is None:
+        return out
+    i = d.find(b"<<")
+    i = i + 2 if i >= 0 else 0
+    while True:
+        km = _NAME_KEY_RE.search(d, i)
+        if not km:
+            break
+        i = km.end()
+        rm = _REF_AT_RE.match(d, i)
+        if rm:
+            out[b"/" + km.group(1)] = objs.get(int(rm.group(1)))
+            i = rm.end()
+            continue
+        wm = re.match(rb"\s*", d[i:])
+        j = i + wm.end()
+        if d[j : j + 2] == b"<<":
+            inline = _balanced_dict(d, j)
+            if inline is None:
+                break
+            out[b"/" + km.group(1)] = inline
+            i = j + len(inline)
+    return out
+
+
 def _fonts(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, _Font | None]:
     """font resource name → _Font from the page's (possibly inherited)
     /Resources /Font dictionary. ANY name token binds (/F1, /TT2, /C2_0, /R7,
@@ -732,33 +770,19 @@ def _fonts(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, _Font | None
     if res is None:
         # legacy minimal files: /Font dict sitting directly in the page body
         res = page_body
-    fdict = _dict_value(res, b"Font", objs)
-    out: dict[bytes, _Font | None] = {}
-    if fdict is None:
-        return out
-    # walk "/Name value" pairs: value = indirect ref or inline font dict
-    i = fdict.find(b"<<")
-    i = i + 2 if i >= 0 else 0
-    while True:
-        km = _NAME_KEY_RE.search(fdict, i)
-        if not km:
-            break
-        i = km.end()
-        rm = _REF_AT_RE.match(fdict, i)
-        if rm:
-            body = objs.get(int(rm.group(1)))
-            out[b"/" + km.group(1)] = _build_font(objs, body) if body else None
-            i = rm.end()
-            continue
-        wm = re.match(rb"\s*", fdict[i:])
-        j = i + wm.end()
-        if fdict[j : j + 2] == b"<<":
-            inline = _balanced_dict(fdict, j)
-            if inline is None:
-                break
-            out[b"/" + km.group(1)] = _build_font(objs, inline)
-            i = j + len(inline)
-    return out
+    return {
+        name: (_build_font(objs, body) if body else None)
+        for name, body in _res_dict_entries(objs, res, b"Font").items()
+    }
+
+
+def _xobjects(objs: dict[int, bytes], page_body: bytes) -> dict[bytes, bytes | None]:
+    """XObject resource name → object body (for Form-XObject execution and
+    image detection)."""
+    res = _page_resources(objs, page_body)
+    if res is None:
+        res = page_body
+    return _res_dict_entries(objs, res, b"XObject")
 
 
 # ---------------------------------------------------------------------------------
@@ -915,12 +939,28 @@ def _mapply(m: tuple, u: float, v: float) -> tuple[float, float]:
     return (a * u + c * v + e, b * u + d * v + f)
 
 
-def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None]):
+_MATRIX_RE = re.compile(
+    rb"/Matrix\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)"
+    rb"\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
+)
+_FORM_MAX_DEPTH = 8  # bounded Form-XObject nesting — hostile cycles terminate
+
+
+def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None], *,
+                      objs: dict[int, bytes] | None = None,
+                      xobjects: dict[bytes, bytes | None] | None = None,
+                      ctm0: tuple = _IDENTITY, depth: int = 0):
     """Execute the text-positioning subset of the content stream. Returns
     (events, n_image_ops): events = (codepoint, x0, y0, x1, y1) per shown char
     in show order (PDF points, bottom-left origin — the FIXTURES.md pdf_chars
     contract); n_image_ops counts XObject paints (Do) and inline images — the
-    signal the OCR-routing marker uses for image-only pages.
+    signal the OCR-routing marker uses for image-only pages. A Do naming a
+    /Subtype /Form XObject EXECUTES the form's content stream inline (its own
+    /Resources when present, else the caller's; the form /Matrix concatenated
+    onto the CTM; nesting bounded at _FORM_MAX_DEPTH) — text living inside
+    form XObjects (stamps, letterheads, LaTeX pgf output) is extracted, not
+    dropped, matching pdfium. Only non-form (image) paints and unresolvable
+    names count as image ops.
 
     Positioning is the FULL matrix model (round 4; previously translation +
     uniform scale only): the text matrix Tm and line matrix Tlm are real 2x3
@@ -939,7 +979,7 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None]):
     hscale = 1.0  # Tz / 100
     tm = _IDENTITY  # text matrix
     tlm = _IDENTITY  # line matrix
-    ctm = _IDENTITY
+    ctm = ctm0
     ctm_stack: list[tuple] = []
     xd = 0.0  # accumulated show displacement along the text-space x axis
     stack: list = []
@@ -1090,8 +1130,29 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None]):
                         xd -= float(item) / 1000.0 * size * hscale
                 stack.clear()
             elif op == b"Do":
-                # XObject paint (image or form) — the image-only-page signal
-                n_image_ops += 1
+                name = stack[-1] if stack and isinstance(stack[-1], bytes) else None
+                body = xobjects.get(name) if (xobjects and name) else None
+                if (
+                    body is not None
+                    and re.search(rb"/Subtype\s*/Form\b", body)
+                    and depth < _FORM_MAX_DEPTH
+                ):
+                    sub_content = _stream_data(body, objs)
+                    mm = _MATRIX_RE.search(body)
+                    fmat = (
+                        tuple(float(v) for v in mm.groups()) if mm else _IDENTITY
+                    )
+                    sub_fonts = _fonts(objs or {}, body) or fonts
+                    sub_x = _xobjects(objs or {}, body) or xobjects
+                    sub_ev, sub_img = _page_char_events(
+                        sub_content, sub_fonts, objs=objs, xobjects=sub_x,
+                        ctm0=_mmul(fmat, ctm), depth=depth + 1,
+                    )
+                    events.extend(sub_ev)
+                    n_image_ops += sub_img
+                else:
+                    # image XObject (or unresolvable name) — needs-OCR signal
+                    n_image_ops += 1
                 stack.clear()
             else:
                 stack.clear()  # untracked operator consumes its operands
@@ -1223,7 +1284,9 @@ def pdf_to_page_records(data: bytes) -> list[tuple[str, int, int]]:
                 continue
             content = _stream_data(objs.get(int(cm.group(1)), b""), objs)
         fonts = _fonts(objs, body)
-        events, n_image_ops = _page_char_events(content, fonts)
+        events, n_image_ops = _page_char_events(
+            content, fonts, objs=objs, xobjects=_xobjects(objs, body)
+        )
         recs = [f"PAGE\t{w:g}\t{h:g}"]
         for code, x0, y0, x1, y1 in events:
             recs.append(f"{code:08x}\t{x0:g}\t{y0:g}\t{x1:g}\t{y1:g}")

@@ -684,3 +684,84 @@ def test_dquote_sets_spacing():
     # aw=4 ac=5: A at 0, space at 11 (6+5), B at 11+6+5+4=26; line dropped 14
     assert xs == [0.0, 11.0, 26.0]
     assert float(recs[0][2]) == 86.0
+
+
+# --- round 4 (beyond VERDICT): Form-XObject text execution -------------------
+
+
+def _pdf_with_form(form_stream: bytes, form_dict_extra: bytes = b"",
+                   page_extra: bytes = b"", page_content: bytes | None = None) -> bytes:
+    content = (page_content if page_content is not None
+               else b"q /Fm1 Do Q" + page_extra)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> /XObject << /Fm1 6 0 R >> >> >>"),
+        4: (b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+            + content + b"\nendstream"),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+        6: (b"<< /Type /XObject /Subtype /Form " + form_dict_extra
+            + b" /Length " + str(len(form_stream)).encode() + b" >>\nstream\n"
+            + form_stream + b"\nendstream"),
+    }
+    out = b"%PDF-1.4\n"
+    for num in sorted(objs):
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    return out + b"%%EOF"
+
+
+def test_form_xobject_text_extracted():
+    """Text inside a /Subtype /Form XObject must be extracted (pdfium does),
+    using the page's resources when the form has none."""
+    form = f"BT /F1 12 Tf 72 720 Td ({LONG1} {LONG2}) Tj ET".encode()
+    assert _extract_texts(_pdf_with_form(form)) == [LONG1, LONG2]
+
+
+def test_form_matrix_concatenates_onto_ctm():
+    form = b"BT /F1 10 Tf 0 0 Td (A) Tj ET"
+    pdf = _pdf_with_form(form, form_dict_extra=b"/Matrix [1 0 0 1 100 50]")
+    recs = [ln.split("\t") for ln in pdf_to_pdf_chars_payloads(pdf)[0].split("\n")[1:]]
+    assert [float(v) for v in recs[0][1:5]] == [100.0, 50.0, 106.0, 60.0]
+
+
+def test_form_own_resources_override_page():
+    """A form with its own /Font resources binds /F1 to ITS font (fixed 300
+    width via /Widths), not the page's Courier."""
+    form = b"BT /F1 10 Tf 0 0 Td (A) Tj ET"
+    pdf = _pdf_with_form(
+        form,
+        form_dict_extra=(b"/Resources << /Font << /F1 7 0 R >> >>"),
+    )
+    pdf = pdf.replace(
+        b"%%EOF",
+        b"7 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Courier "
+        b"/FirstChar 65 /Widths [300] >>\nendobj\n%%EOF",
+    )
+    recs = [ln.split("\t") for ln in pdf_to_pdf_chars_payloads(pdf)[0].split("\n")[1:]]
+    assert [float(v) for v in recs[0][1:5]] == [0.0, 0.0, 3.0, 10.0]
+
+
+def test_form_with_text_is_not_needs_ocr():
+    from pdf_extract_sys_spark.sources.pdf_bytes import pdf_to_page_records
+
+    form = f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()
+    payload, n_ev, n_img = pdf_to_page_records(_pdf_with_form(form))[0]
+    assert n_ev == len(LONG1) and n_img == 0
+
+
+def test_image_xobject_still_counts_as_image():
+    from pdf_extract_sys_spark.sources.pdf_bytes import pdf_to_page_records
+
+    pdf = _pdf_with_form(b"", page_content=b"q /Im9 Do Q")  # /Im9 unresolvable
+    payload, n_ev, n_img = pdf_to_page_records(pdf)[0]
+    assert n_ev == 0 and n_img == 1
+
+
+def test_self_referencing_form_terminates():
+    """A form whose stream paints itself must terminate via the depth cap
+    (counted as an image at the cap, never infinite recursion)."""
+    form = b"q /Fm1 Do Q"
+    pdf = _pdf_with_form(form)
+    payload = pdf_to_pdf_chars_payloads(pdf)[0]
+    assert payload.startswith("PAGE")
