@@ -1099,10 +1099,18 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None], *,
                 ctm = _mmul((a_, b_, c_, d_, e_, f_), ctm)
                 stack.clear()
             elif op == b"q":
-                ctm_stack.append(ctm)
+                # the PDF graphics state includes the TEXT state (Tf/Tc/Tw/
+                # TL/Ts/Tz), not just the CTM — Q must restore all of it
+                ctm_stack.append(
+                    (ctm, font, size, char_sp, word_sp, leading, rise, hscale)
+                )
                 stack.clear()
             elif op == b"Q":
-                ctm = ctm_stack.pop() if ctm_stack else _IDENTITY
+                if ctm_stack:
+                    (ctm, font, size, char_sp, word_sp,
+                     leading, rise, hscale) = ctm_stack.pop()
+                else:
+                    ctm = ctm0
                 stack.clear()
             elif op == b"Tj":
                 kind, sb = stack[-1]
@@ -1187,6 +1195,24 @@ def _check_not_encrypted(data: bytes) -> None:
 
 
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
+_ROTATE_RE = re.compile(rb"/Rotate\s+(-?\d+)")
+
+
+def _rotate_event(ev: tuple, rot: int, w: float, h: float) -> tuple:
+    """Map a char event's bbox from media space to DISPLAY space for a page
+    /Rotate of 90/180/270 (inheritable, like /MediaBox): pdfium-equivalent
+    behavior — downstream line/word clustering sees reading-order coordinates
+    for landscape scans instead of sideways text. 90 = clockwise display:
+    (x, y) -> (y, w - x); 180: (w - x, h - y); 270: (h - y, x)."""
+    code, x0, y0, x1, y1 = ev
+    if rot == 90:
+        pts = ((y0, w - x0), (y1, w - x1))
+    elif rot == 180:
+        pts = ((w - x0, h - y0), (w - x1, h - y1))
+    else:  # 270
+        pts = ((h - y0, x0), (h - y1, x1))
+    (ax, ay), (bx, by) = pts
+    return (code, min(ax, bx), min(ay, by), max(ax, bx), max(ay, by))
 
 
 def _page_order(objs: dict[int, bytes]) -> list[int] | None:
@@ -1242,11 +1268,15 @@ def pdf_to_page_records(data: bytes) -> list[tuple[str, int, int]]:
     objs = _objects(data)
 
     default_box = (0.0, 0.0, 612.0, 792.0)
+    default_rot = 0
     for body in objs.values():
         if b"/Type" in body and b"/Pages" in body and b"/Kids" in body:
             m = _MEDIABOX_RE.search(body)
             if m:
                 default_box = _box_floats(m)
+            rm = _ROTATE_RE.search(body)
+            if rm:
+                default_rot = int(rm.group(1))
             break
 
     ordered = _page_order(objs)
@@ -1266,6 +1296,11 @@ def pdf_to_page_records(data: bytes) -> list[tuple[str, int, int]]:
         m = _MEDIABOX_RE.search(body)
         box = _box_floats(m) if m else default_box
         w, h = box[2] - box[0], box[3] - box[1]
+        rm = _ROTATE_RE.search(body)
+        rot = (int(rm.group(1)) if rm else default_rot) % 360
+        if rot not in (90, 180, 270):
+            rot = 0
+        pw, ph = (h, w) if rot in (90, 270) else (w, h)
         # /Contents: bare ref, or the common array form [N 0 R M 0 R ...]
         # (streams concatenate). A /Contents key we cannot resolve is an ERROR,
         # never a silent empty page — the contract is sentinel, not data loss.
@@ -1280,14 +1315,16 @@ def pdf_to_page_records(data: bytes) -> list[tuple[str, int, int]]:
             if not cm:
                 if b"/Contents" in body:
                     raise PdfParseError("unresolvable /Contents entry")
-                records.append((f"PAGE\t{w:g}\t{h:g}", 0, 0))
+                records.append((f"PAGE\t{pw:g}\t{ph:g}", 0, 0))
                 continue
             content = _stream_data(objs.get(int(cm.group(1)), b""), objs)
         fonts = _fonts(objs, body)
         events, n_image_ops = _page_char_events(
             content, fonts, objs=objs, xobjects=_xobjects(objs, body)
         )
-        recs = [f"PAGE\t{w:g}\t{h:g}"]
+        if rot:
+            events = [_rotate_event(ev, rot, w, h) for ev in events]
+        recs = [f"PAGE\t{pw:g}\t{ph:g}"]
         for code, x0, y0, x1, y1 in events:
             recs.append(f"{code:08x}\t{x0:g}\t{y0:g}\t{x1:g}\t{y1:g}")
         records.append(("\n".join(recs), len(events), n_image_ops))

@@ -765,3 +765,44 @@ def test_self_referencing_form_terminates():
     pdf = _pdf_with_form(form)
     payload = pdf_to_pdf_chars_payloads(pdf)[0]
     assert payload.startswith("PAGE")
+
+
+def test_rotate_90_maps_to_display_space():
+    """/Rotate 90 (inheritable): PAGE dims swap and boxes land in display
+    coordinates — a char at media (x=[10,16], y=[700,710]) on a 612x792 page
+    displays at x=[700,710], y=[596,602]."""
+    pdf = make_pdf([b"BT /F1 10 Tf 10 700 Td (A) Tj ET"])
+    pdf = pdf.replace(b"/Contents 4 0 R", b"/Rotate 90 /Contents 4 0 R")
+    payload = pdf_to_pdf_chars_payloads(pdf)[0]
+    lines = payload.split("\n")
+    assert lines[0] == "PAGE\t792\t612"
+    box = [float(v) for v in lines[1].split("\t")[1:5]]
+    assert box == [700.0, 596.0, 710.0, 602.0]
+
+
+def test_rotate_inherited_from_pages_node():
+    pdf = make_pdf([b"BT /F1 10 Tf 10 700 Td (A) Tj ET"])
+    pdf = pdf.replace(b"/MediaBox [0 0 612 792]", b"/MediaBox [0 0 612 792] /Rotate 180")
+    payload = pdf_to_pdf_chars_payloads(pdf)[0]
+    lines = payload.split("\n")
+    assert lines[0] == "PAGE\t612\t792"
+    box = [float(v) for v in lines[1].split("\t")[1:5]]
+    assert box == [612.0 - 16.0, 792.0 - 710.0, 612.0 - 10.0, 792.0 - 700.0]
+
+
+def test_rotate_0_and_bogus_values_unchanged():
+    base = make_pdf([b"BT /F1 10 Tf 10 700 Td (A) Tj ET"])
+    expected = pdf_to_pdf_chars_payloads(base)
+    for marker in (b"/Rotate 0 ", b"/Rotate 360 ", b"/Rotate 45 "):
+        pdf = base.replace(b"/Contents 4 0 R", marker + b"/Contents 4 0 R")
+        assert pdf_to_pdf_chars_payloads(pdf) == expected
+
+
+def test_q_Q_restores_text_state():
+    """Q restores the text state saved by q (font size, spacing), not just
+    the CTM: the second (A) must render at 10pt with no char spacing."""
+    pdf = make_pdf([
+        b"BT /F1 10 Tf ET q BT /F1 20 Tf 5 Tc ET Q BT 0 100 Td (A) Tj ET"
+    ])
+    recs = [ln.split("\t") for ln in pdf_to_pdf_chars_payloads(pdf)[0].split("\n")[1:]]
+    assert [float(v) for v in recs[0][1:5]] == [0.0, 100.0, 6.0, 110.0]
