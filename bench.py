@@ -586,7 +586,11 @@ executor-count scaling.
 
 | query | sec |
 |---|---|
-""" + "\n".join(f"| {k} | {v} |" for k, v in qtimes.items()) + "\n"
+""" + "\n".join(f"| {k} | {v} |" for k, v in qtimes.items()) + """
+
+Prior-run disclosures (runs this file's regeneration would otherwise bury)
+live in `BENCH/R*_RUNS.md` with raw JSON alongside.
+"""
     )
 
     print(json.dumps(result))

@@ -162,12 +162,19 @@ def test_fuzz_modern_surface_sentinel_totality():
     from pdf_extract_sys_spark.sources.pdf_bytes import PdfParseError
 
     rng = random.Random(20260817)
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()
     bases = [
-        make_pdf_objstm(f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()),
+        make_pdf_objstm(content),
         make_pdf_type0(LONG1),
+        # round-4 surface: LZW+predictor chain, form XObject, rotated page,
+        # inline image — mutations must stay within PdfParseError/zlib.error
+        _pdf_with_filtered_content(content, _lzw_encode(content), b"/LZWDecode"),
+        _pdf_with_form(content),
+        make_pdf([content]).replace(b"/Contents 4 0 R", b"/Rotate 90 /Contents 4 0 R"),
+        make_pdf([b"BI /W 2 /H 2 ID \xff\x00\xff\x00\nEI\n" + content]),
     ]
-    for trial in range(150):
-        b = bytearray(bases[trial % 2])
+    for trial in range(240):
+        b = bytearray(bases[trial % len(bases)])
         for _ in range(rng.randrange(1, 12)):
             b[rng.randrange(len(b))] = rng.randrange(256)
         try:
