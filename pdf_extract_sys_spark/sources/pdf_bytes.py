@@ -999,9 +999,31 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None], *,
             codes = list(sb)
         dec = font.decode
         trm = _mmul(tm, ctm)
+        ta, tb, tc_, td, te, tf = trm
+        widths_get, default_w = font.widths.get, font.default_w
+        k = size * hscale / 1000.0
+        sp = char_sp * hscale
+        wsp = word_sp * hscale
+        is_cid = font.cid
+        if tb == 0.0 and tc_ == 0.0:
+            # axis-aligned fast path (no rotation/shear — ~all real docs):
+            # y extent is constant across the show; x needs 2 multiplies/char
+            ya = td * rise + tf
+            yb = td * (rise + size) + tf
+            y0, y1 = (ya, yb) if ya <= yb else (yb, ya)
+            for code in codes:
+                gw = widths_get(code, default_w) * k
+                cp = dec.get(code, code) if dec is not None else code
+                xa = ta * xd + te
+                xb = ta * (xd + gw) + te
+                events.append(
+                    (cp, xa, y0, xb, y1) if xa <= xb else (cp, xb, y0, xa, y1)
+                )
+                xd += gw + sp + (wsp if not is_cid and code == 32 else 0.0)
+            return
         for code in codes:
-            gw = font.widths.get(code, font.default_w) / 1000.0 * size * hscale
-            adv = gw + (char_sp + (word_sp if not font.cid and code == 32 else 0.0)) * hscale
+            gw = widths_get(code, default_w) * k
+            adv = gw + sp + (wsp if not is_cid and code == 32 else 0.0)
             cp = dec.get(code, code) if dec is not None else code
             p0 = _mapply(trm, xd, rise)
             p1 = _mapply(trm, xd + gw, rise)

@@ -813,3 +813,13 @@ def test_q_Q_restores_text_state():
     ])
     recs = [ln.split("\t") for ln in pdf_to_pdf_chars_payloads(pdf)[0].split("\n")[1:]]
     assert [float(v) for v in recs[0][1:5]] == [0.0, 100.0, 6.0, 110.0]
+
+
+def test_negative_scale_y_flip_boxes_normalized():
+    """Top-down y-flip (1 0 0 -1 0 792 cm) — common generator output — must
+    produce normalized boxes (y0 < y1) on the fast path."""
+    pdf = make_pdf([b"q 1 0 0 -1 0 792 cm BT /F1 10 Tf 10 92 Td (A) Tj ET Q"])
+    recs = [ln.split("\t") for ln in pdf_to_pdf_chars_payloads(pdf)[0].split("\n")[1:]]
+    box = [float(v) for v in recs[0][1:5]]
+    # text-space y in [92, 102] maps to device [690, 700]
+    assert box == [10.0, 690.0, 16.0, 700.0]
