@@ -42,6 +42,7 @@ from .schema import (
     KIND_MEDIA,
     KIND_NEEDS_OCR,
     KIND_OCR_WORDS,
+    KIND_PAGE_ERROR,
     KIND_PDF_CHARS,
     KIND_TEXT,
 )
@@ -93,7 +94,10 @@ def extract_docs(
     if "text_bytes" in sr.columns:
         tb = sr["text_bytes"].astype(np.int64)
     else:
-        tb = sr["text"].str.encode("utf-8").str.len().fillna(0).astype(np.int64)
+        tb = (
+            sr["text"].str.encode("utf-8").str.len()
+            .astype("float64").fillna(0).astype(np.int64)
+        )
     bytes_in = (
         pd.DataFrame({"doc_id": sr["doc_id"], "b": tb})
         .groupby("doc_id", sort=False)["b"]
@@ -175,6 +179,11 @@ def extract_docs(
     # independent of the searchable classifier (like media/html) -----------------
     ocr_todo_rows = ok_rows(KIND_NEEDS_OCR)
 
+    # --- page_error passthrough (r4 VERDICT #3): a page-scoped decode failure
+    # becomes the reference's '[Error processing page N]' span (main.py:361-372)
+    # — the doc's other pages keep extracting; only doc-level failures sentinel
+    page_err_rows = ok_rows(KIND_PAGE_ERROR)
+
     # --- assemble reading order ---------------------------------------------------
     parts = []
     if len(pdf_spans):
@@ -244,6 +253,23 @@ def extract_docs(
                     "kind": KIND_NEEDS_OCR,
                     "text": None,
                     "media_ref": ocr_todo_rows["media_ref"],
+                }
+            )
+        )
+    if len(page_err_rows):
+        parts.append(
+            pd.DataFrame(
+                {
+                    "doc_id": page_err_rows["doc_id"],
+                    "in_off": page_err_rows["offset"].astype(np.int64),
+                    "pos": page_err_rows["pos"].astype(np.int64),
+                    "seq": 0,
+                    "kind": KIND_ERROR,
+                    # reference format, 0-based page index (main.py:59,369)
+                    "text": "[Error processing page "
+                    + page_err_rows["offset"].astype(np.int64).astype(str)
+                    + "]",
+                    "media_ref": page_err_rows["media_ref"],
                 }
             )
         )

@@ -97,7 +97,13 @@ def _extract_salted(mega: DataFrame, salted_parallelism: int | None) -> DataFram
         F.sum("bytes_in").alias("bytes_in"),
     )
     real = F.filter("arr", lambda s: s["kind"] != F.lit(KIND_CHUNK_MARKER))
-    has_err = F.exists("arr", lambda s: s["kind"] == F.lit(KIND_ERROR))
+    # DOC-level sentinels only (in_off == -1): page-scoped error spans
+    # (kind='error' at a real page offset, r4 VERDICT #3) are DATA — they must
+    # not promote the whole doc to a sentinel, matching main.py:361-372
+    has_err = F.exists(
+        "arr",
+        lambda s: (s["kind"] == F.lit(KIND_ERROR)) & (s["in_off"] == F.lit(-1)),
+    )
     spans_ok = F.transform(
         real,
         lambda s, i: F.struct(
@@ -119,12 +125,13 @@ def _extract_salted(mega: DataFrame, salted_parallelism: int | None) -> DataFram
     out = assembled.select(
         "doc_id",
         F.when(has_err, sentinel).otherwise(spans_ok).alias("spans"),
+        has_err.alias("parse_failed"),
         F.col("bytes_in").cast("long").alias("bytes_in"),
     ).select(
         "doc_id",
         "spans",
         F.size("spans").cast("long").alias("n_spans"),
-        F.exists("spans", lambda s: s["kind"] == F.lit(KIND_ERROR)).alias("parse_failed"),
+        "parse_failed",
         "bytes_in",
     )
     return out
@@ -149,7 +156,14 @@ def extract_corpus(
     mega-side scans touch only the row groups that actually contain mega docs
     — the standard stats-column skew-routing pattern for 100 TB tables."""
     size_expr = F.col(size_col) if size_col else F.size("spans")
-    normal = corpus.filter(size_expr <= F.lit(salt_threshold)).select("doc_id", "spans")
+    # NULL routing (r4 ADVICE): with size_col set, a NULL stats value fails BOTH
+    # branch predicates (NULL <= x and NULL > x are both NULL) and the doc would
+    # silently vanish — data loss, not a sentinel. Externally written corpora
+    # may carry NULLs; route them to the normal branch explicitly (worst case a
+    # mega doc goes unsalted — a perf degrade, never loss). IsNull ORs with the
+    # comparison and still pushes down to the parquet reader.
+    normal_pred = (size_expr <= F.lit(salt_threshold)) | size_expr.isNull()
+    normal = corpus.filter(normal_pred).select("doc_id", "spans")
     mega = corpus.filter(size_expr > F.lit(salt_threshold)).select("doc_id", "spans")
     out_normal = normal.mapInArrow(extract_map_in_arrow, EXTRACTED_SCHEMA)
     out_mega = _extract_salted(mega, salted_parallelism)

@@ -1473,13 +1473,198 @@ FROM w
 """
 
 
+def _png_up_encode(data: bytes, columns: int) -> bytes:
+    """PNG 'Up' row-filter encoding (filter byte 2 per row) — the inverse of
+    the reader's /Predictor ≥ 10 reversal."""
+    out = bytearray()
+    prev = bytes(columns)
+    for i in range(0, len(data), columns):
+        row = data[i : i + columns]
+        out.append(2)
+        out += bytes((row[j] - prev[j]) & 0xFF for j in range(columns))
+        prev = row
+    return bytes(out)
+
+
+def _pdf_assemble_classic(objs: dict[int, bytes], header: bytes) -> bytes:
+    """Objects + spec-correct classic xref table + trailer + startxref."""
+    out = bytearray(header)
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_off = len(out)
+    maxnum = max(objs)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (maxnum + 1)
+    for num in range(1, maxnum + 1):
+        if num in offsets:
+            out += b"%010d 00000 n \n" % offsets[num]
+        else:
+            out += b"0000000000 65535 f \n"
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+        % (maxnum + 1, xref_off)
+    )
+    return bytes(out)
+
+
+def _pdf_assemble_xref_stream(
+    objs: dict[int, bytes], header: bytes, in_stream: dict[int, tuple[int, int]]
+) -> bytes:
+    """Objects + a /Type /XRef cross-reference STREAM (W [1 4 2], Flate +
+    PNG-Up predictor — the realistic post-2005 writer shape). ``in_stream``
+    maps objnum -> (ObjStm objnum, index) for type-2 (compressed) entries."""
+    import zlib
+
+    out = bytearray(header)
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_off = len(out)
+    xref_num = max(max(objs), max(in_stream, default=0)) + 1
+    size = xref_num + 1
+    rows: list[tuple[int, int, int]] = [(0, 0, 65535)]
+    for num in range(1, xref_num):
+        if num in offsets:
+            rows.append((1, offsets[num], 0))
+        elif num in in_stream:
+            rows.append((2, in_stream[num][0], in_stream[num][1]))
+        else:
+            rows.append((0, 0, 65535))
+    rows.append((1, xref_off, 0))  # the xref stream itself
+    raw = b"".join(
+        bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        for t, f2, f3 in rows
+    )
+    data = zlib.compress(_png_up_encode(raw, 7))
+    out += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R"
+        b" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >>"
+        b" /Length %d >>\nstream\n" % (xref_num, size, len(data))
+        + data
+        + b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF" % xref_off
+    )
+    return bytes(out)
+
+
+# /W widths for the Type0 variant: the same public Helvetica AFM table the
+# interpreter's built-in metric uses, so every variant yields identical
+# char-box geometry (and therefore identical downstream sentence spans)
+def _helv_w_array() -> bytes:
+    from .sources.pdf_bytes import _AFM_ASCII
+
+    return b"32 [" + b" ".join(
+        b"%d" % w for w in _AFM_ASCII[b"Helvetica"]
+    ) + b"]"
+
+
+def _serialize_variant_pdf(doc_id: int, text: str) -> bytes:
+    """One REAL single-page PDF for ``text``, its SERIALIZATION deterministically
+    varied by doc_id mod 6 (r4 VERDICT #6) — so the driver's q_extract_pdf_bytes
+    oracle certifies the full round-3/4/5 interpreter surface, not just the
+    simplest PDF 1.4 shape. All six variants must extract to IDENTICAL spans:
+
+      0: uncompressed content stream, classic xref table + trailer
+      1: FlateDecode content, classic xref
+      2: Flate + PNG-Up /DecodeParms predictor content, /Type /XRef stream
+         (itself Flate+predictor-encoded)
+      3: catalog/pages/page/font dicts packed in a Flate /Type /ObjStm,
+         located via an xref STREAM with type-2 entries (PDF 1.5 layout)
+      4: Type0/Identity-H font — hex show string (2-byte CIDs), /W width
+         array (same Helvetica AFM numbers), /ToUnicode identity bfrange
+      5: /Rotate 90 page with the text placed through a rotated Tm, so the
+         DISPLAY-space char boxes (and the extracted spans) match variant 0
+    """
+    import zlib
+
+    v = doc_id % 6
+    esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    if v == 4:
+        content = (
+            b"BT /F1 12 Tf 10 760 Td <"
+            + text.encode("utf-16-be").hex().encode() + b"> Tj ET"
+        )
+    elif v == 5:
+        # Tm = [0 1 -1 0 52 10]: text-space (u, v) -> media (52 - v, u + 10);
+        # the /Rotate 90 display map (x, y) -> (y, w - x) then lands each char
+        # at display x = u + 10, y in [560, 572] — a normal reading-order row
+        content = b"BT /F1 12 Tf 0 1 -1 0 52 10 Tm (" + esc.encode() + b") Tj ET"
+    else:
+        content = b"BT /F1 12 Tf 10 760 Td (" + esc.encode() + b") Tj ET"
+
+    if v == 1:
+        data = zlib.compress(content)
+        cobj = (b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
+                + data + b"\nendstream")
+    elif v == 2:
+        cols = 24
+        padded = content.ljust((len(content) + cols - 1) // cols * cols, b" ")
+        data = zlib.compress(_png_up_encode(padded, cols))
+        cobj = (
+            b"<< /Length %d /Filter /FlateDecode"
+            b" /DecodeParms << /Predictor 12 /Columns 24 >> >>\nstream\n"
+            % len(data) + data + b"\nendstream"
+        )
+    else:
+        cobj = b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+
+    page_extra = b" /Rotate 90" if v == 5 else b""
+    dicts = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+            + page_extra
+            + b" /Resources << /Font << /F1 5 0 R >> >> >>"),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    objs: dict[int, bytes] = {4: cobj}
+    if v == 4:
+        touni = (b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+                 b"1 beginbfrange\n<0020> <007e> <0020>\nendbfrange")
+        dicts[5] = (b"<< /Type /Font /Subtype /Type0 /BaseFont /Helvetica"
+                    b" /Encoding /Identity-H /DescendantFonts [6 0 R]"
+                    b" /ToUnicode 7 0 R >>")
+        dicts[6] = (b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Helvetica"
+                    b" /DW 500 /W [" + _helv_w_array() + b"] >>")
+        objs[7] = (b"<< /Length %d >>\nstream\n" % len(touni)
+                   + touni + b"\nendstream")
+
+    if v == 3:
+        # pack the dict objects into a Flate ObjStm; xref stream locates them
+        # via type-2 entries (streams themselves stay top-level, per spec)
+        nums = sorted(dicts)
+        offs, pos = [], 0
+        for n in nums:
+            offs.append(pos)
+            pos += len(dicts[n]) + 1
+        hdr = b" ".join(b"%d %d" % (n, o) for n, o in zip(nums, offs)) + b"\n"
+        payload = hdr + b"\n".join(dicts[n] for n in nums) + b"\n"
+        sdata = zlib.compress(payload)
+        objs[8] = (
+            b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode"
+            b" >>\nstream\n" % (len(nums), len(hdr), len(sdata))
+            + sdata + b"\nendstream"
+        )
+        in_stream = {n: (8, i) for i, n in enumerate(nums)}
+        return _pdf_assemble_xref_stream(objs, b"%PDF-1.5\n", in_stream)
+    objs.update(dicts)
+    if v == 2:
+        return _pdf_assemble_xref_stream(objs, b"%PDF-1.5\n", {})
+    return _pdf_assemble_classic(objs, b"%PDF-1.4\n")
+
+
 def documents_to_pdf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derive REAL PDF bytes per document, deterministically and in pure
-    Catalyst (no UDF): sanitize the text, terminate each 10-word group with
-    '.', and serialize a complete single-page PDF 1.4 file (catalog, /Pages
-    tree, page with /Resources /Font, Helvetica with public AFM metrics,
-    content stream with exact /Length) as a binary column — the input shape a
-    user holding actual PDFs has."""
+    """Derive REAL PDF bytes per document: Catalyst sanitizes the text and
+    terminates each 10-word group with '.' (identical derivation to
+    documents_to_corpus, so the same SQL oracle applies); an Arrow-batched
+    serializer then writes a complete PDF file whose on-disk SERIALIZATION
+    varies deterministically per doc_id (mod 6 — uncompressed / Flate /
+    Flate+predictor+xref-stream / ObjStm / Type0+ToUnicode / Rotate 90, see
+    _serialize_variant_pdf) — the input shape a user holding actual PDFs has,
+    covering the modern interpreter surface under the driver's oracle
+    (r4 VERDICT #6). Binary serialization is per-blob Python inside mapInArrow
+    — the declared binary boundary, same as the decode side."""
     docs = (
         _t(spark, sf_dir, "documents")
         .filter(F.length("text") >= _MIN_CHARS)
@@ -1490,27 +1675,139 @@ def documents_to_pdf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.size(F.split(F.col("t"), " "))
     sent = F.regexp_replace(F.col("t"), group_pat, r"$1.")
     sent = F.when(n_words % _SENT_WORDS == 0, sent).otherwise(F.concat(sent, F.lit(".")))
-    content = F.concat(F.lit("BT /F1 12 Tf 10 760 Td ("), sent, F.lit(") Tj ET"))
-    pdf = F.concat(
-        F.lit(
-            "%PDF-1.4\n"
-            "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
-            "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 "
-            "/MediaBox [0 0 612 792] >>\nendobj\n"
-            "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
-            "/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
-            "4 0 obj\n<< /Length "
-        ),
-        F.octet_length(content).cast("string"),
-        F.lit(" >>\nstream\n"),
-        content,
-        F.lit(
-            "\nendstream\nendobj\n"
-            "5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-            "\nendobj\n%%EOF"
-        ),
+    texts = docs.select("doc_id", sent.alias("sent"))
+
+    def serialize(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column("doc_id").to_pylist()
+            sents = batch.column("sent").to_pylist()
+            pdfs = [
+                _serialize_variant_pdf(int(d), s) for d, s in zip(ids, sents)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pa.array(pdfs, type=pa.binary())],
+                names=["doc_id", "pdf"],
+            )
+
+    return texts.mapInArrow(serialize, "doc_id string, pdf binary")
+
+
+def _serialize_worklist_pdf(doc_id: int, text: str) -> bytes:
+    """A multi-page PDF: page 0 shows ``text``; then (deterministically per
+    doc_id) 0, 1, or 2 IMAGE-ONLY pages — each paints an image XObject and
+    shows no text, so the interpreter emits the needs-OCR signal for it
+    (doc_id % 3 == 0 → one image page; % 9 == 0 → two). The image stream is a
+    real /Subtype /Image XObject; Do counts it without decoding (the marked
+    codec seam), exactly the raster/OCR boundary of the reference
+    (main.py:570-632)."""
+    esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    n_img_pages = 2 if doc_id % 9 == 0 else (1 if doc_id % 3 == 0 else 0)
+    content = b"BT /F1 12 Tf 10 760 Td (" + esc.encode() + b") Tj ET"
+    kids = [3] + [6 + 2 * i for i in range(n_img_pages)]
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (b"<< /Type /Pages /Kids [" + b" ".join(b"%d 0 R" % k for k in kids)
+            + b"] /Count %d /MediaBox [0 0 612 792] >>" % len(kids)),
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+            b" /Resources << /Font << /F1 5 0 R >> >> >>"),
+        4: (b"<< /Length %d >>\nstream\n" % len(content) + content
+            + b"\nendstream"),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    if n_img_pages:
+        img_content = b"q 612 0 0 792 0 0 cm /Im1 Do Q"
+        imobj = 6 + 2 * n_img_pages
+        for i in range(n_img_pages):
+            objs[6 + 2 * i] = (
+                b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R"
+                b" /Resources << /XObject << /Im1 %d 0 R >> >> >>"
+                % (7 + 2 * i, imobj)
+            )
+            objs[7 + 2 * i] = (
+                b"<< /Length %d >>\nstream\n" % len(img_content)
+                + img_content + b"\nendstream"
+            )
+        objs[imobj] = (
+            b"<< /Subtype /Image /Width 1 /Height 1 /BitsPerComponent 8"
+            b" /ColorSpace /DeviceGray /Length 1 >>\nstream\n\x7f\nendstream"
+        )
+    return _pdf_assemble_classic(objs, b"%PDF-1.4\n")
+
+
+def documents_to_worklist_pdf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pdf) frame of multi-page PDFs with deterministic image-only
+    pages — the input for the needs-OCR work-list query."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") >= _MIN_CHARS)
+        .select(F.col("doc_id").cast("string").alias("doc_id"),
+                _SANITIZE_SPARK(F.col("text")).alias("sent"))
     )
-    return docs.select("doc_id", F.encode(pdf, "utf-8").alias("pdf"))
+
+    def serialize(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column("doc_id").to_pylist()
+            sents = batch.column("sent").to_pylist()
+            pdfs = [
+                _serialize_worklist_pdf(int(d), s) for d, s in zip(ids, sents)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pa.array(pdfs, type=pa.binary())],
+                names=["doc_id", "pdf"],
+            )
+
+    return docs.mapInArrow(serialize, "doc_id string, pdf binary")
+
+
+def q_needs_ocr_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OCR WORK-LIST as a first-class query (r4 VERDICT #8): real PDF
+    bytes with image-only pages → pdf_binary_to_corpus marks them
+    kind='needs_ocr' → extraction passes the marker through → `WHERE kind =
+    'needs_ocr'` aggregated per doc (count + page list). This is the contract
+    a downstream raster/OCR stage consumes — verified against the driver's
+    DuckDB oracle, not just pytest shapes. Same eager-materialize-then-release
+    cache lifecycle as the other binary-source queries."""
+    from .pipeline import extract_corpus
+    from .sources.pdf_bytes import pdf_binary_to_corpus
+
+    corpus = pdf_binary_to_corpus(
+        documents_to_worklist_pdf_binary(spark, sf_dir)
+    ).persist()
+    out = (
+        extract_corpus(corpus)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == F.lit("needs_ocr"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_needs_ocr"),
+            F.array_join(F.array_sort(F.collect_list("s.media_ref")), ",").alias(
+                "pages"
+            ),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"), "n_needs_ocr", "pages"
+        )
+        .localCheckpoint(eager=True)
+    )
+    corpus.unpersist()
+    return out
+
+
+SQL_NEEDS_OCR = f"""
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_needs_ocr,
+       CASE WHEN doc_id % 9 = 0 THEN 'page:1,page:2' ELSE 'page:1' END AS pages
+FROM documents
+WHERE LENGTH(text) >= {_MIN_CHARS} AND doc_id % 3 = 0
+"""
 
 
 def q_extract_pdf_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1661,6 +1958,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_media_meta": (q_media_meta, SQL_MEDIA_META),
     "q_extract_sentences": (q_extract_sentences, SQL_EXTRACT),
     "q_extract_pdf_bytes": (q_extract_pdf_bytes, SQL_EXTRACT),
+    "q_needs_ocr_worklist": (q_needs_ocr_worklist, SQL_NEEDS_OCR),
     "q_extract_html": (q_extract_html, SQL_EXTRACT_HTML),
     "q_extract_dedup": (q_extract_dedup, SQL_EXTRACT_DEDUP),
 }

@@ -138,8 +138,16 @@ KIND_ERROR = "error"
 KIND_NEEDS_OCR = "needs_ocr"
 
 # Input span kinds (FIXTURES.md payload encodings). media and needs_ocr pass
-# through extraction unchanged (both are refs, not payloads).
+# through extraction unchanged (both are refs, not payloads). page_error
+# (r4 VERDICT #3) is a PAGE-scoped decode failure from a binary source
+# (pdf_binary_to_corpus): extraction emits the reference's
+# '[Error processing page N]' span for it (main.py:361-372) while the doc's
+# other pages extract normally — page granularity, never whole-doc loss.
 KIND_PDF_CHARS = "pdf_chars"
 KIND_OCR_WORDS = "ocr_words"
 KIND_HTML = "html"
-INPUT_KINDS = {KIND_PDF_CHARS, KIND_OCR_WORDS, KIND_HTML, KIND_MEDIA, KIND_NEEDS_OCR}
+KIND_PAGE_ERROR = "page_error"
+INPUT_KINDS = {
+    KIND_PDF_CHARS, KIND_OCR_WORDS, KIND_HTML, KIND_MEDIA, KIND_NEEDS_OCR,
+    KIND_PAGE_ERROR,
+}

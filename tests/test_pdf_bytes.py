@@ -58,8 +58,16 @@ def _extract_texts(pdf_bytes: bytes) -> list[str]:
         {
             "doc_id": ["d1"],
             "spans": [
-                [{"kind": "pdf_chars", "text": p, "media_ref": None, "offset": i}
-                 for i, p in enumerate(payloads)]
+                [
+                    # None payload = page-scoped decode failure (r4 VERDICT #3)
+                    # — the same mapping pdf_binary_to_corpus applies
+                    {"kind": "page_error", "text": None,
+                     "media_ref": f"page:{i}", "offset": i}
+                    if p is None
+                    else {"kind": "pdf_chars", "text": p, "media_ref": None,
+                          "offset": i}
+                    for i, p in enumerate(payloads)
+                ]
             ],
         }
     )
@@ -157,10 +165,13 @@ def test_contents_array_form():
 
 
 def test_unresolvable_contents_is_error_not_silent_empty_page():
+    """An unresolvable /Contents is an ERROR, never a silent empty page —
+    and since object discovery succeeded, the error is PAGE-scoped
+    (r4 VERDICT #3, main.py:361-372 granularity), not a doc sentinel."""
     pdf = make_pdf([b"BT ET"])
     pdf = pdf.replace(b"/Contents 4 0 R", b"/Contents null")
-    with pytest.raises(PdfParseError):
-        pdf_to_pdf_chars_payloads(pdf)
+    assert pdf_to_pdf_chars_payloads(pdf) == [None]
+    assert _extract_texts(pdf) == ["[Error processing page 0]"]
 
 
 def test_fuzz_never_raises_unexpected():

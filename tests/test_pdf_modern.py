@@ -222,27 +222,20 @@ def test_simple_font_any_name_resolves():
 
 
 def test_unresolved_font_name_sentinels_not_mojibake():
-    """A Tf naming a font absent from a non-empty /Font dict must raise (→
-    sentinel) at show time — not decode CID bytes as Latin-1."""
-    import pytest
-
-    from pdf_extract_sys_spark.sources.pdf_bytes import PdfParseError
-
+    """A Tf naming a font absent from a non-empty /Font dict must error (→
+    page-scoped sentinel, r4 VERDICT #3) at show time — not decode CID bytes
+    as Latin-1."""
     pdf = make_pdf_type0(LONG1)
     pdf = pdf.replace(b"/F1 12 Tf", b"/F9 12 Tf")  # /F9 not in the /Font dict
-    with pytest.raises(PdfParseError):
-        pdf_to_pdf_chars_payloads(pdf)
+    assert pdf_to_pdf_chars_payloads(pdf) == [None]
+    assert _extract_texts(pdf) == ["[Error processing page 0]"]
 
 
 def test_font_dict_entry_with_missing_object_sentinels():
     pdf = make_pdf_type0(LONG1)
     pdf = pdf.replace(b"/F1 5 0 R", b"/F1 99 0 R")  # object 99 doesn't exist
-    import pytest
-
-    from pdf_extract_sys_spark.sources.pdf_bytes import PdfParseError
-
-    with pytest.raises(PdfParseError):
-        pdf_to_pdf_chars_payloads(pdf)
+    assert pdf_to_pdf_chars_payloads(pdf) == [None]
+    assert _extract_texts(pdf) == ["[Error processing page 0]"]
 
 
 def test_resources_inherited_from_pages_node():
@@ -261,7 +254,10 @@ def test_resources_inherited_from_pages_node():
 def test_inline_image_skipped_not_tokenized():
     """BI…ID…EI binary data must not corrupt the token stream: the payload here
     embeds '(', 'Tj'-like runs and parens inside the image bytes."""
-    img = bytes([0x28, 0x54, 0x6A, 0x20, 0x29, 0xFF, 0x00, 0x28, 0x42, 0x54])
+    # 2x2 RGB at 8bpc = exactly 12 sample bytes (the spec length — the skipper
+    # now computes and enforces it for unfiltered inline images)
+    img = bytes([0x28, 0x54, 0x6A, 0x20, 0x29, 0xFF, 0x00, 0x28,
+                 0x42, 0x54, 0x20, 0x45])
     content = (
         b"BT /F1 12 Tf 72 720 Td (" + LONG1.encode() + b") Tj ET\n"
         b"BI /W 2 /H 2 /BPC 8 /CS /RGB ID " + img + b"\nEI\n"
@@ -273,13 +269,10 @@ def test_inline_image_skipped_not_tokenized():
 
 
 def test_inline_image_without_ei_sentinels():
-    import pytest
-
-    from pdf_extract_sys_spark.sources.pdf_bytes import PdfParseError
-
+    """A BI with no EI is a broken CONTENT stream — page-scoped error
+    (discovery succeeded), never resumed tokenization inside binary data."""
     content = b"BI /W 2 /H 2 ID \xff\x00\xff\x00 no terminator here"
-    with pytest.raises(PdfParseError):
-        pdf_to_pdf_chars_payloads(make_pdf([content]))
+    assert pdf_to_pdf_chars_payloads(make_pdf([content])) == [None]
 
 
 def test_image_ops_counted_in_page_records():
@@ -445,13 +438,10 @@ def test_tiff_predictor_2():
 
 
 def test_dct_decode_still_sentinels():
-    import pytest
-
-    from pdf_extract_sys_spark.sources.pdf_bytes import PdfParseError
-
+    """Codec-bound filters stay the marked seam — a DCT content stream is a
+    page-scoped error (the doc's structure parsed fine)."""
     pdf = _pdf_with_filtered_content(CONTENT, b"\xff\xd8\xff", b"/DCTDecode")
-    with pytest.raises(PdfParseError):
-        pdf_to_pdf_chars_payloads(pdf)
+    assert pdf_to_pdf_chars_payloads(pdf) == [None]
 
 
 def test_encrypted_pdf_sentinels_not_mojibake():

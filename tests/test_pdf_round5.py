@@ -1,0 +1,537 @@
+"""Round-5 PDF interpreter surface (r4 VERDICT #2-#5 + ADVICE):
+
+  * /ToUnicode precedence on SIMPLE fonts (custom-encoded subset fonts)
+  * per-PAGE error isolation (one corrupt page keeps the others)
+  * xref-FIRST object discovery: classic tables, xref streams, /Prev chains,
+    incremental updates — and the motivating case, stream data containing
+    literal `endobj` bytes that truncates scan-based discovery
+  * RC4 empty-user-password decryption (standard security handler V1/V2 R2/R3)
+  * /Rotate with a non-zero MediaBox origin
+  * /DecodeParms array entries that are indirect references
+  * inline-image EI false positives inside sample data
+
+All fixtures hand-built from the public PDF 1.x spec; the reference gets this
+surface from pdfium (main.py:161) — parity is behavioral.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import pytest
+
+from pdf_extract_sys_spark.sources.pdf_bytes import (
+    PdfParseError,
+    _PW_PAD,
+    _rc4,
+    pdf_to_page_records,
+    pdf_to_pdf_chars_payloads,
+)
+from test_pdf_bytes import LONG1, LONG2, _extract_texts, make_pdf
+
+PAD2 = "Padding words so this page also clears the fifty character searchable gate."
+
+
+# ---------------------------------------------------------------------------------
+# helpers: classic-xref writer + RC4 encryptor (both pure public spec)
+# ---------------------------------------------------------------------------------
+
+
+def build_pdf(objs: dict[int, bytes], *, xref: bool = True,
+              header: bytes = b"%PDF-1.4\n",
+              trailer_extra: bytes = b"") -> bytes:
+    """Assemble numbered objects into a PDF, optionally with a spec-correct
+    classic xref table + trailer + startxref."""
+    out = bytearray(header)
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    if xref:
+        xref_off = len(out)
+        maxnum = max(objs)
+        out += b"xref\n0 " + str(maxnum + 1).encode() + b"\n"
+        out += b"0000000000 65535 f \n"
+        for num in range(1, maxnum + 1):
+            if num in offsets:
+                out += b"%010d 00000 n \n" % offsets[num]
+            else:
+                out += b"0000000000 65535 f \n"
+        out += (
+            b"trailer\n<< /Size " + str(maxnum + 1).encode()
+            + b" /Root 1 0 R" + trailer_extra + b" >>\nstartxref\n"
+            + str(xref_off).encode() + b"\n"
+        )
+    return bytes(out) + b"%%EOF"
+
+
+def basic_objs(content: bytes, *, filt: bytes = b"",
+               page_extra: bytes = b"") -> dict[int, bytes]:
+    return {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>" + page_extra),
+        4: (b"<< /Length " + str(len(content)).encode() + filt
+            + b" >>\nstream\n" + content + b"\nendstream"),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+    }
+
+
+def _derive_file_key(o: bytes, p: int, id0: bytes, r: int, n: int) -> bytes:
+    h = hashlib.md5(_PW_PAD + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0)
+    key = h.digest()[:n]
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()[:n]
+    return key
+
+
+def encrypt_pdf(objs: dict[int, bytes], *, r: int = 3,
+                user_pw_matches: bool = True) -> bytes:
+    """Standard-security-handler writer (public Algorithms 2/3/4/5): empty
+    owner+user password, RC4 over every stream payload. user_pw_matches=False
+    writes a corrupted /U — the reader must demand a password (sentinel)."""
+    v, n = (2, 16) if r == 3 else (1, 5)
+    id0 = bytes(range(16))
+    p = -44  # permissions bits, arbitrary but realistic
+    # Algorithm 3: /O for empty owner password (= empty user password)
+    okey = hashlib.md5(_PW_PAD).digest()
+    if r >= 3:
+        for _ in range(50):
+            okey = hashlib.md5(okey[:n]).digest()
+    okey = okey[:n]
+    o = _rc4(okey, _PW_PAD)
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in okey), o)
+    key = _derive_file_key(o, p, id0, r, n)
+    # Algorithm 4/5: /U
+    if r == 2:
+        u = _rc4(key, _PW_PAD)
+    else:
+        u = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        u = u + b"\x00" * 16
+    if not user_pw_matches:
+        u = bytes(255 - b for b in u[:16]) + u[16:]
+
+    enc_objs = dict(objs)
+    for num, body in objs.items():
+        m = body.find(b"stream\n")
+        if m < 0:
+            continue
+        s = m + len(b"stream\n")
+        e = body.rfind(b"\nendstream")
+        raw = body[s:e]
+        ok = hashlib.md5(
+            key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+        ).digest()[: min(n + 5, 16)]
+        enc_objs[num] = body[:s] + _rc4(ok, raw) + body[e:]
+    encnum = max(objs) + 1
+    enc_objs[encnum] = (
+        b"<< /Filter /Standard /V " + str(v).encode() + b" /R " + str(r).encode()
+        + b" /Length " + str(n * 8).encode()
+        + b" /O <" + o[:32].hex().encode() + b"> /U <" + u[:32].hex().encode()
+        + b"> /P " + str(p).encode() + b" >>"
+    )
+    return build_pdf(
+        enc_objs,
+        trailer_extra=(
+            b" /Encrypt " + str(encnum).encode() + b" 0 R /ID [<"
+            + id0.hex().encode() + b"> <" + id0.hex().encode() + b">]"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------------
+# /ToUnicode on simple fonts (r4 VERDICT #2)
+# ---------------------------------------------------------------------------------
+
+
+def test_simple_font_tounicode_overrides_builtin_encoding():
+    """A subsetted simple font with a CUSTOM built-in encoding (no
+    /Differences) and a /ToUnicode CMap — standard pdftex/LaTeX output — must
+    decode through the CMap, not as Latin-1 mojibake (pdfium behavior)."""
+    # remap each distinct char of LONG1 to a small custom code
+    codes = {c: i + 1 for i, c in enumerate(dict.fromkeys(LONG1))}
+    shown = bytes(codes[c] for c in LONG1)
+    bfchars = b"\n".join(
+        b"<%02x> <%04x>" % (code, ord(c)) for c, code in codes.items()
+    )
+    tounicode = (
+        str(len(codes)).encode() + b" beginbfchar\n" + bfchars + b"\nendbfchar"
+    )
+    content = b"BT /F1 12 Tf 72 720 Td <" + shown.hex().encode() + b"> Tj ET"
+    objs = basic_objs(content)
+    objs[5] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /ABCDEF+CustomSubset "
+        b"/FirstChar 1 /ToUnicode 6 0 R >>"
+    )
+    objs[6] = (
+        b"<< /Length " + str(len(tounicode)).encode() + b" >>\nstream\n"
+        + tounicode + b"\nendstream"
+    )
+    assert _extract_texts(build_pdf(objs))[0] == LONG1
+
+
+def test_simple_font_tounicode_beats_winansi():
+    """Spec precedence: where /ToUnicode and the base encoding disagree, the
+    CMap wins."""
+    tounicode = b"1 beginbfchar\n<41> <0042>\nendbfchar"  # 'A' -> 'B'
+    content = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"(A long sentence that clears the fifty char searchable gate easily.) Tj ET"
+    )
+    objs = basic_objs(content)
+    objs[5] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding /ToUnicode 6 0 R >>"
+    )
+    objs[6] = (
+        b"<< /Length " + str(len(tounicode)).encode() + b" >>\nstream\n"
+        + tounicode + b"\nendstream"
+    )
+    assert _extract_texts(build_pdf(objs))[0].startswith("B long sentence")
+
+
+# ---------------------------------------------------------------------------------
+# per-page error isolation (r4 VERDICT #3)
+# ---------------------------------------------------------------------------------
+
+
+def test_corrupt_page_isolated_other_pages_extract():
+    """A 2-page doc whose page 2 has a corrupt content stream yields page 1's
+    spans PLUS one page-2 error span — main.py:361-372 granularity, not a
+    whole-doc sentinel."""
+    good = f"BT /F1 12 Tf 72 720 Td ({LONG1} {PAD2}) Tj ET".encode()
+    bad = b"BI /W 2 /H 2 ID \xff\x00 no terminator present at all"
+    pdf = make_pdf([good, bad])
+    payloads = pdf_to_pdf_chars_payloads(pdf)
+    assert payloads[0] is not None and payloads[1] is None
+    texts = _extract_texts(pdf)
+    assert texts[0] == LONG1
+    assert texts[-1] == "[Error processing page 1]"
+
+
+def test_doc_level_failure_still_doc_sentinel():
+    with pytest.raises(PdfParseError):
+        pdf_to_pdf_chars_payloads(b"%PDF-1.4\nnothing here\n%%EOF")
+
+
+# ---------------------------------------------------------------------------------
+# xref-first discovery (r4 VERDICT #4)
+# ---------------------------------------------------------------------------------
+
+
+def _objs_with_endobj_in_binary_stream() -> dict[int, bytes]:
+    """Object 6 is a binary stream (an embedded font file, say) whose DATA
+    contains literal `endobj` followed by a phantom `5 0 obj` that SHADOWS
+    the real font object under scan discovery — the exact truncation class
+    xref-first discovery exists to prevent (r4 VERDICT #4)."""
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1} {PAD2}) Tj ET".encode()
+    objs = basic_objs(content)
+    binary = (
+        b"\x00\x01\xff\xfe endobj\n5 0 obj\n"
+        b"<< /Type /Font /Subtype /Type0 /Encoding /Bogus-CMap >>\n\x80\x81"
+    )
+    objs[6] = (
+        b"<< /Length " + str(len(binary)).encode() + b" >>\nstream\n"
+        + binary + b"\nendstream"
+    )
+    return objs
+
+
+def test_xref_rescues_stream_containing_endobj():
+    pdf = build_pdf(_objs_with_endobj_in_binary_stream())
+    texts = _extract_texts(pdf)
+    assert texts[0] == LONG1
+    assert all("[Error" not in t for t in texts)
+
+
+def test_scan_only_same_file_degrades_safely():
+    """The SAME file without an xref (scan discovery): the phantom object
+    shadows the real font — the result must be an ERROR, never silently
+    garbled text (the old scan-only failure mode, degraded safely)."""
+    pdf = build_pdf(_objs_with_endobj_in_binary_stream(), xref=False)
+    try:
+        texts = _extract_texts(pdf)
+    except PdfParseError:
+        return
+    assert any((t or "").startswith("[Error") for t in texts)
+
+
+def test_damaged_xref_falls_back_to_scan():
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1} {PAD2}) Tj ET".encode()
+    pdf = build_pdf(basic_objs(content))
+    # corrupt every xref entry offset: discovery must fall back to the scan
+    import re as _re
+
+    pdf = _re.sub(rb"\n\d{10} 00000 n ", b"\n9999999999 00000 n ", pdf)
+    assert _extract_texts(pdf)[0] == LONG1
+
+
+def test_incremental_update_newest_object_wins():
+    """An appended incremental update (new page content + xref with /Prev)
+    must override the original object — first claim from the NEWEST section
+    wins."""
+    old = f"BT /F1 12 Tf 72 720 Td (Old text that should be replaced entirely by the update.) Tj ET".encode()
+    new = f"BT /F1 12 Tf 72 720 Td ({LONG1} {PAD2}) Tj ET".encode()
+    base = build_pdf(basic_objs(old))
+    first_xref = base.rfind(b"xref")
+    startxref_old = int(base[base.rfind(b"startxref") + 9 :].split()[0])
+    body = base[: base.rfind(b"%%EOF")]
+    new_obj_off = len(body)
+    update = (
+        b"4 0 obj\n<< /Length " + str(len(new)).encode() + b" >>\nstream\n"
+        + new + b"\nendstream\nendobj\n"
+    )
+    new_xref_off = new_obj_off + len(update)
+    update += (
+        b"xref\n4 1\n%010d 00000 n \n" % new_obj_off
+        + b"trailer\n<< /Size 6 /Root 1 0 R /Prev "
+        + str(startxref_old).encode() + b" >>\nstartxref\n"
+        + str(new_xref_off).encode() + b"\n%%EOF"
+    )
+    texts = _extract_texts(body + update)
+    assert texts[0] == LONG1
+    assert all("Old text" not in (t or "") for t in texts)
+
+
+def make_pdf_xref_stream(content: bytes) -> bytes:
+    """Modern layout: dict objects packed in a Flate ObjStm, located via a
+    /Type /XRef cross-reference STREAM with type-2 entries and a PNG-Up
+    predictor — the realistic post-2005 writer shape."""
+    members = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+    }
+    offs, pos = [], 0
+    for b in members.values():
+        offs.append(pos)
+        pos += len(b) + 1
+    header = b" ".join(
+        b"%d %d" % (n, o) for n, o in zip(members, offs)
+    ) + b"\n"
+    payload = header + b"\n".join(members.values()) + b"\n"
+    objstm_data = zlib.compress(payload)
+    objstm = (
+        b"<< /Type /ObjStm /N 4 /First " + str(len(header)).encode()
+        + b" /Length " + str(len(objstm_data)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + objstm_data + b"\nendstream"
+    )
+    cobj = (b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+            + content + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+    for num, body in ((4, cobj), (6, objstm)):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    offsets[7] = xref_off
+    # W [1 4 2]; entries for objects 0..7
+    rows = []
+    rows.append((0, 0, 65535))  # obj 0: free
+    for num in (1, 2, 3):
+        rows.append((2, 6, list(members).index(num)))
+    rows.append((1, offsets[4], 0))
+    rows.append((2, 6, 3))  # obj 5 at index 3 in the ObjStm
+    rows.append((1, offsets[6], 0))
+    rows.append((1, xref_off, 0))
+    raw = b"".join(
+        bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        for t, f2, f3 in rows
+    )
+    # PNG Up predictor over 7-byte rows, then Flate — the common writer output
+    rowlen = 7
+    pred = bytearray()
+    prev = bytes(rowlen)
+    for i in range(0, len(raw), rowlen):
+        row = raw[i : i + rowlen]
+        pred.append(2)
+        pred += bytes((row[j] - prev[j]) & 0xFF for j in range(rowlen))
+        prev = row
+    xdata = zlib.compress(bytes(pred))
+    xobj = (
+        b"<< /Type /XRef /Size 8 /W [1 4 2] /Root 1 0 R /Filter /FlateDecode"
+        b" /DecodeParms << /Predictor 12 /Columns 7 >> /Length "
+        + str(len(xdata)).encode() + b" >>\nstream\n" + xdata + b"\nendstream"
+    )
+    out += b"7 0 obj\n" + xobj + b"\nendobj\n"
+    out += b"startxref\n" + str(xref_off).encode() + b"\n%%EOF"
+    return bytes(out)
+
+
+def test_xref_stream_with_objstm_type2_entries():
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1} {LONG2}) Tj ET".encode()
+    assert _extract_texts(make_pdf_xref_stream(content)) == [LONG1, LONG2]
+
+
+# ---------------------------------------------------------------------------------
+# RC4 empty-user-password decryption (r4 VERDICT #5)
+# ---------------------------------------------------------------------------------
+
+
+def test_rc4_r3_empty_password_extracts():
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1} {LONG2}) Tj ET".encode()
+    pdf = encrypt_pdf(basic_objs(content), r=3)
+    assert _extract_texts(pdf) == [LONG1, LONG2]
+
+
+def test_rc4_r2_40bit_empty_password_extracts():
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()
+    pdf = encrypt_pdf(basic_objs(content), r=2)
+    assert _extract_texts(pdf)[0] == LONG1
+
+
+def test_rc4_real_password_still_sentinels():
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()
+    pdf = encrypt_pdf(basic_objs(content), r=3, user_pw_matches=False)
+    with pytest.raises(PdfParseError, match="password"):
+        pdf_to_pdf_chars_payloads(pdf)
+
+
+def test_aes_v4_still_sentinels():
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()
+    objs = basic_objs(content)
+    objs[6] = b"<< /Filter /Standard /V 4 /R 4 /O <00> /U <00> /P -44 >>"
+    pdf = build_pdf(
+        objs, trailer_extra=b" /Encrypt 6 0 R /ID [<0102> <0102>]"
+    )
+    with pytest.raises(PdfParseError, match="encrypted"):
+        pdf_to_pdf_chars_payloads(pdf)
+
+
+def test_rc4_flate_combo():
+    """Encryption applies to the RAW stream bytes BEFORE filters decode —
+    RC4 then Flate must roundtrip."""
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1} {LONG2}) Tj ET".encode()
+    data = zlib.compress(content)
+    objs = basic_objs(b"", filt=b" /Filter /FlateDecode")
+    objs[4] = (b"<< /Length " + str(len(data)).encode()
+               + b" /Filter /FlateDecode >>\nstream\n" + data + b"\nendstream")
+    pdf = encrypt_pdf(objs, r=3)
+    assert _extract_texts(pdf) == [LONG1, LONG2]
+
+
+# ---------------------------------------------------------------------------------
+# /Rotate with non-zero MediaBox origin (r4 ADVICE)
+# ---------------------------------------------------------------------------------
+
+
+def test_rotate_90_with_offset_mediabox_origin():
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()
+    objs = basic_objs(content, page_extra=b"")
+    objs[2] = (b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+               b"/MediaBox [50 50 662 842] >>")
+    objs[3] = (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Rotate 90 "
+               b"/Resources << /Font << /F1 5 0 R >> >> >>")
+    (payload, n_ev, _n_img), = pdf_to_page_records(build_pdf(objs))
+    lines = payload.split("\n")
+    assert lines[0] == "PAGE\t792\t612"  # swapped display dims (extents)
+    first = lines[1].split("\t")
+    # media (72, 720..732) -> box-relative (22, 670..682) -> display
+    # (x, y) -> (y, w - x) with w = 612: x0 = 670, y1 = 612 - 22 = 590
+    assert abs(float(first[1]) - 670.0) < 1e-6
+    assert abs(float(first[4]) - 590.0) < 1e-6
+    # every display coordinate must be inside the page, never negative
+    for ln in lines[1:]:
+        _c, x0, y0, x1, y1 = ln.split("\t")
+        assert 0 <= float(x0) <= float(x1) <= 792
+        assert 0 <= float(y0) <= float(y1) <= 612
+
+
+def test_unrotated_offset_origin_keeps_absolute_convention():
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()
+    objs = basic_objs(content)
+    objs[2] = (b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+               b"/MediaBox [50 50 662 842] >>")
+    (payload, _n, _i), = pdf_to_page_records(build_pdf(objs))
+    first = payload.split("\n")[1].split("\t")
+    assert abs(float(first[1]) - 72.0) < 1e-6  # absolute media x, unrebase
+
+
+# ---------------------------------------------------------------------------------
+# /DecodeParms indirect refs in array form (r4 ADVICE)
+# ---------------------------------------------------------------------------------
+
+
+def _png_up_encode(data: bytes, columns: int) -> bytes:
+    out = bytearray()
+    prev = bytes(columns)
+    for i in range(0, len(data), columns):
+        row = data[i : i + columns].ljust(columns, b"\x00")
+        out.append(2)
+        out += bytes((row[j] - prev[j]) & 0xFF for j in range(columns))
+        prev = row
+    return bytes(out)
+
+
+def test_decode_parms_array_indirect_ref():
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1} {LONG2}) Tj ET".encode()
+    cols = 16
+    padded = content.ljust((len(content) + cols - 1) // cols * cols, b" ")
+    data = zlib.compress(_png_up_encode(padded, cols))
+    objs = basic_objs(b"")
+    objs[4] = (
+        b"<< /Length " + str(len(data)).encode()
+        + b" /Filter [/FlateDecode] /DecodeParms [6 0 R] >>\nstream\n"
+        + data + b"\nendstream"
+    )
+    objs[6] = b"<< /Predictor 12 /Columns 16 >>"
+    assert _extract_texts(build_pdf(objs)) == [LONG1, LONG2]
+
+
+def test_decode_parms_unrecognized_entry_errors_not_garbage():
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()
+    data = zlib.compress(content)
+    objs = basic_objs(b"")
+    objs[4] = (
+        b"<< /Length " + str(len(data)).encode()
+        + b" /Filter [/FlateDecode] /DecodeParms [/Bogus] >>\nstream\n"
+        + data + b"\nendstream"
+    )
+    # page-scoped error (discovery fine, the page's stream dict is malformed)
+    assert pdf_to_pdf_chars_payloads(build_pdf(objs)) == [None]
+
+
+# ---------------------------------------------------------------------------------
+# inline-image EI false positives (r4 ADVICE)
+# ---------------------------------------------------------------------------------
+
+
+def test_inline_image_data_containing_fake_ei():
+    """Unfiltered sample data containing a whitespace+EI+delimiter run must
+    NOT end the skip early — the computed sample length bounds the scan."""
+    # 4x2 gray 8bpc = 8 bytes; bytes 2..5 spell ' EI ' (the false positive)
+    img = b"\x10 EI \xff\x00\x7f"
+    assert len(img) == 8
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (" + LONG1.encode() + b") Tj ET\n"
+        b"BI /W 4 /H 2 /BPC 8 /CS /G ID " + img + b"\nEI\n"
+        b"BT /F1 12 Tf 72 700 Td (" + LONG2.encode() + b" " + PAD2.encode()
+        + b") Tj ET"
+    )
+    texts = _extract_texts(make_pdf([content]))
+    assert texts[0] == LONG1 and texts[1].startswith(LONG2)
+
+
+def test_filtered_inline_image_fake_ei_followed_by_binary_rejected():
+    """For FILTERED (unknown-length) data, an EI candidate followed by more
+    binary is rejected; the real EI — followed by content-stream text — is
+    accepted."""
+    blob = b"\x89\x50\x4e EI \xff\xfe\x90\x80\x81\x82 more \x9a\x9b"
+    content = (
+        b"BT /F1 12 Tf 72 720 Td (" + LONG1.encode() + b") Tj ET\n"
+        b"BI /W 2 /H 2 /BPC 8 /F /DCT ID " + blob + b"\nEI\n"
+        b"BT /F1 12 Tf 72 700 Td (" + LONG2.encode() + b" " + PAD2.encode()
+        + b") Tj ET"
+    )
+    texts = _extract_texts(make_pdf([content]))
+    assert texts[0] == LONG1 and texts[1].startswith(LONG2)
