@@ -167,3 +167,43 @@ def test_checkpoint_metrics_lineage(spark, tmp_path, small_corpus):
         if any(s_["kind"] == "error" for s_ in r["spans"])
     )
     assert s.parse_failures == n_err
+
+
+def test_page_error_spans_survive_salting_without_doc_sentinel(spark, tmp_path):
+    """A page_error input span (r4 VERDICT #3) must come out as a page-scoped
+    '[Error processing page N]' span — IDENTICALLY on the normal and the
+    salted path — and must NOT mark the doc parse_failed or promote it to the
+    doc-level sentinel (only in_off=-1 sentinels do that)."""
+    payload = "PAGE\t612\t792\n" + "\n".join(
+        f"{ord(c):08x}\t{10 + 7 * i}\t760\t{17 + 7 * i}\t772"
+        for i, c in enumerate(
+            "A perfectly ordinary sentence long enough to clear the gate."
+        )
+    )
+    docs = pd.DataFrame(
+        {
+            "doc_id": ["pe1"],
+            "spans": [
+                [
+                    {"kind": "pdf_chars", "text": payload, "media_ref": None,
+                     "offset": 0},
+                    {"kind": "page_error", "text": None, "media_ref": "page:1",
+                     "offset": 1},
+                ]
+            ],
+        }
+    )
+    path = make_input(spark, tmp_path, docs, name="page_err")
+    src = spark.read.parquet(path)
+    normal = extract_corpus(src, salt_threshold=10**9)
+    salted = extract_corpus(src, salt_threshold=0, salted_parallelism=3)
+    rows_n = normal.collect()
+    rows_s = salted.collect()
+    for rows in (rows_n, rows_s):
+        (r,) = rows
+        kinds = [s["kind"] for s in r["spans"]]
+        assert kinds[-1] == "error"
+        assert r["spans"][-1]["text"] == "[Error processing page 1]"
+        assert kinds[0] == "text"  # page 0 extracted normally
+        assert not r["parse_failed"]
+    assert collect_spans(normal) == collect_spans(salted)
