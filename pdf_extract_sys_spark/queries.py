@@ -1486,7 +1486,9 @@ def _png_up_encode(data: bytes, columns: int) -> bytes:
     return bytes(out)
 
 
-def _pdf_assemble_classic(objs: dict[int, bytes], header: bytes) -> bytes:
+def _pdf_assemble_classic(
+    objs: dict[int, bytes], header: bytes, trailer_extra: bytes = b""
+) -> bytes:
     """Objects + spec-correct classic xref table + trailer + startxref."""
     out = bytearray(header)
     offsets: dict[int, int] = {}
@@ -1502,8 +1504,9 @@ def _pdf_assemble_classic(objs: dict[int, bytes], header: bytes) -> bytes:
         else:
             out += b"0000000000 65535 f \n"
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
-        % (maxnum + 1, xref_off)
+        b"trailer\n<< /Size %d /Root 1 0 R" % (maxnum + 1)
+        + trailer_extra
+        + b" >>\nstartxref\n%d\n%%%%EOF" % xref_off
     )
     return bytes(out)
 
@@ -1559,11 +1562,90 @@ def _helv_w_array() -> bytes:
     ) + b"]"
 
 
+def _rc4_encrypt_objects(
+    objs: dict[int, bytes], aes: bool = False
+) -> tuple[dict[int, bytes], bytes, bytes]:
+    """Standard-security-handler WRITER for the empty user+owner password
+    (public Algorithms 2/3/4/5 — the mirror of the reader in
+    sources/pdf_bytes.py): encrypts every stream payload in ``objs`` and
+    returns (encrypted objs incl. the /Encrypt dict, trailer extras, file id).
+    aes=False writes RC4 V2/R3; aes=True writes V4/R4 with /CFM /AESV2
+    (AES-128-CBC, per-object sAlT key, deterministic IV, /Length rewritten to
+    the ciphertext length). Test-input generation only — never on the decode
+    path."""
+    import hashlib
+    import re
+
+    from .sources.pdf_bytes import _PW_PAD, _rc4
+
+    if aes:
+        from .sources._aes import cbc_encrypt
+
+    r, v, n = (4, 4, 16) if aes else (3, 2, 16)
+    id0 = hashlib.md5(b"spark-graft-variant-6").digest()
+    p = -44
+    okey = hashlib.md5(_PW_PAD).digest()
+    for _ in range(50):
+        okey = hashlib.md5(okey[:n]).digest()
+    okey = okey[:n]
+    o = _rc4(okey, _PW_PAD)
+    for i in range(1, 20):
+        o = _rc4(bytes(b ^ i for b in okey), o)
+    key = hashlib.md5(
+        _PW_PAD + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()[:n]
+    for _ in range(50):
+        key = hashlib.md5(key[:n]).digest()[:n]
+    u = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    u += b"\x00" * 16
+    out: dict[int, bytes] = {}
+    for num, body in objs.items():
+        m = body.find(b"stream\n")
+        if m < 0:
+            out[num] = body
+            continue
+        s = m + len(b"stream\n")
+        e = body.rfind(b"\nendstream")
+        salt = b"sAlT" if aes else b""
+        ok = hashlib.md5(
+            key + num.to_bytes(3, "little") + (0).to_bytes(2, "little") + salt
+        ).digest()[: min(n + 5, 16)]
+        if aes:
+            iv = hashlib.md5(b"iv%d" % num).digest()
+            ct = cbc_encrypt(ok, iv, body[s:e])
+            head = re.sub(
+                rb"/Length\s+\d+", b"/Length %d" % len(ct), body[:s], count=1
+            )
+            out[num] = head + ct + body[e:]
+        else:
+            out[num] = body[:s] + _rc4(ok, body[s:e]) + body[e:]
+    encnum = max(objs) + 1
+    cf = (
+        b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
+        b"/StmF /StdCF /StrF /StdCF " if aes else b""
+    )
+    out[encnum] = (
+        b"<< /Filter /Standard /V %d /R %d /Length %d " % (v, r, n * 8)
+        + cf + b"/O <" + o[:32].hex().encode() + b"> /U <"
+        + u[:32].hex().encode() + b"> /P %d >>" % p
+    )
+    trailer_extra = (
+        b" /Encrypt %d 0 R /ID [<" % encnum + id0.hex().encode()
+        + b"> <" + id0.hex().encode() + b">]"
+    )
+    return out, trailer_extra, id0
+
+
+N_PDF_VARIANTS = 8
+
+
 def _serialize_variant_pdf(doc_id: int, text: str) -> bytes:
     """One REAL single-page PDF for ``text``, its SERIALIZATION deterministically
-    varied by doc_id mod 6 (r4 VERDICT #6) — so the driver's q_extract_pdf_bytes
+    varied by doc_id mod 8 (r4 VERDICT #6) — so the driver's q_extract_pdf_bytes
     oracle certifies the full round-3/4/5 interpreter surface, not just the
-    simplest PDF 1.4 shape. All six variants must extract to IDENTICAL spans:
+    simplest PDF 1.4 shape. All eight variants must extract to IDENTICAL spans:
 
       0: uncompressed content stream, classic xref table + trailer
       1: FlateDecode content, classic xref
@@ -1575,10 +1657,15 @@ def _serialize_variant_pdf(doc_id: int, text: str) -> bytes:
          array (same Helvetica AFM numbers), /ToUnicode identity bfrange
       5: /Rotate 90 page with the text placed through a rotated Tm, so the
          DISPLAY-space char boxes (and the extracted spans) match variant 0
+      6: RC4-ENCRYPTED (standard security handler R3, empty user password)
+         with Flate content — drives the decryption path through the oracle
+      7: AES-128-ENCRYPTED (V4/R4 crypt filter /AESV2, empty user password)
+         with Flate content — drives the AES path (IV prefix, CBC padding,
+         /Length rewrite) through the oracle
     """
     import zlib
 
-    v = doc_id % 6
+    v = doc_id % N_PDF_VARIANTS
     esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
     if v == 4:
         content = (
@@ -1593,7 +1680,7 @@ def _serialize_variant_pdf(doc_id: int, text: str) -> bytes:
     else:
         content = b"BT /F1 12 Tf 10 760 Td (" + esc.encode() + b") Tj ET"
 
-    if v == 1:
+    if v in (1, 6, 7):
         data = zlib.compress(content)
         cobj = (b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(data)
                 + data + b"\nendstream")
@@ -1651,6 +1738,9 @@ def _serialize_variant_pdf(doc_id: int, text: str) -> bytes:
     objs.update(dicts)
     if v == 2:
         return _pdf_assemble_xref_stream(objs, b"%PDF-1.5\n", {})
+    if v in (6, 7):
+        objs, trailer_extra, _id0 = _rc4_encrypt_objects(objs, aes=(v == 7))
+        return _pdf_assemble_classic(objs, b"%PDF-1.4\n", trailer_extra)
     return _pdf_assemble_classic(objs, b"%PDF-1.4\n")
 
 

@@ -30,11 +30,14 @@ Supported surface (documented, honest):
     (TIFF horizontal differencing + PNG None/Sub/Up/Average/Paeth) for
     Flate/LZW — common in post-2005 generator output;
   * /Contents streams, direct or via reference;
-  * encrypted documents: the standard security handler's RC4 V1/V2 (R2/R3)
-    with an EMPTY user password — the common permissions-only encryption every
-    viewer opens transparently — is DECRYPTED (public-spec Algorithms 2/4/5,
-    stdlib MD5 + RC4); non-empty passwords, V≥4/AES, and non-standard handlers
-    sentinel instead of decoding to mojibake;
+  * encrypted documents with an EMPTY user password — the common permissions-
+    only encryption every viewer opens transparently — are DECRYPTED across
+    the standard security handler's whole lineage: RC4 V1/V2 R2/R3 (Algorithms
+    2/4/5), V4 R4 crypt filters (/CFM /V2 and /AESV2, /EncryptMetadata), and
+    AES-256 V5 R5/R6 (ISO 32000-2 Algorithms 2.A/2.B incl. the hardened hash),
+    via stdlib hashlib + the FIPS-197 core in ._aes; non-empty passwords,
+    non-standard handlers, and unknown /CFM sentinel instead of decoding to
+    mojibake;
   * per-PAGE error isolation: once object discovery succeeds, a page whose
     content fails to decode yields a page-scoped error record and the other
     pages still extract (main.py:361-372 granularity);
@@ -67,8 +70,8 @@ Supported surface (documented, honest):
 Out of scope (the marked seam, mirroring the multimodal codec stub): non-
 Identity CMap encodings (CJK ordering CMaps are codec-grade tables),
 codec-bound stream filters (DCTDecode/JPXDecode/CCITTFaxDecode/JBIG2Decode),
-and encryption beyond RC4-with-empty-user-password (AES/V4+, real passwords ⇒
-sentinel). A PDF outside this surface degrades to the standard error sentinel
+and encryption requiring a REAL (non-empty) password or a non-standard
+handler (⇒ sentinel). A PDF outside this surface degrades to the standard error sentinel
 — page-scoped when discovery succeeded, doc-scoped otherwise; the job never
 aborts (sentinel contract, main.py:361-372).
 
@@ -1524,11 +1527,16 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None], *,
 
 
 # ---------------------------------------------------------------------------------
-# standard security handler (r4 VERDICT #5) — RC4 V1/V2 (R2/R3) with an EMPTY
-# user password, the permissions-only encryption every viewer opens
-# transparently. Pure public spec (PDF 1.x Algorithms 2/4/5), stdlib only
-# (hashlib MD5 + a 12-line RC4). Anything else — non-empty passwords, V≥4 /
-# AES, crypt filters — sentinels via PdfParseError, never silent mojibake.
+# standard security handler (r4 VERDICT #5) — EMPTY-user-password decryption,
+# the permissions-only encryption every viewer opens transparently:
+#   V1/V2 (R2/R3)  RC4                  PDF 1.x Algorithms 2/4/5
+#   V4     (R4)    crypt filters        /CFM /V2 (RC4) and /AESV2 (AES-128-CBC),
+#                                       /EncryptMetadata, /StmF dispatch
+#   V5     (R5/R6) AES-256-CBC          ISO 32000-2 Algorithms 2.A/2.B
+#                                       (SHA-2 family + hardened AES-KDF hash)
+# Pure public spec, stdlib hashlib + the FIPS-197 core in ._aes. Anything else
+# — non-empty passwords, non-standard handlers, unknown /CFM — sentinels via
+# PdfParseError, never silent mojibake.
 # ---------------------------------------------------------------------------------
 
 _ENCRYPT_RE = re.compile(rb"/Encrypt\s*(?:(\d+)\s+\d+\s+R|<<)")
@@ -1579,20 +1587,12 @@ def _pdf_string_value(body: bytes, key: bytes) -> bytes | None:
         return None
 
 
-def _file_key(enc: bytes, id0: bytes) -> tuple[bytes, int, int]:
-    """Algorithm 2 file key for the EMPTY user password → (key, R, n_bytes).
-    Raises PdfParseError for any handler/revision outside RC4 V1/V2 R2/R3."""
+def _file_key(enc: bytes, id0: bytes, v: int, r: int) -> tuple[bytes, int]:
+    """Algorithm 2 file key for the EMPTY user password → (key, n_bytes).
+    Covers the MD5-family revisions R2/R3/R4 (V1/V2/V4), including the R4
+    /EncryptMetadata false extra bytes."""
     import hashlib
 
-    fm = re.search(rb"/Filter\s*/([A-Za-z0-9]+)", enc)
-    if not fm or fm.group(1) != b"Standard":
-        raise PdfParseError("encrypted PDF (non-standard security handler)")
-    vm = re.search(rb"/V\s+(\d+)", enc)
-    v = int(vm.group(1)) if vm else 0
-    rm = re.search(rb"/R\s+(\d+)", enc)
-    r = int(rm.group(1)) if rm else 0
-    if v not in (1, 2) or r not in (2, 3):
-        raise PdfParseError("encrypted PDF (unsupported /V or /R — AES/crypt filters out of scope)")
     o = _pdf_string_value(enc, b"O")
     pm = re.search(rb"/P\s+(-?\d+)", enc)
     if o is None or len(o) < 32 or not pm:
@@ -1601,16 +1601,80 @@ def _file_key(enc: bytes, id0: bytes) -> tuple[bytes, int, int]:
     bits = int(lm.group(1)) if lm else 40
     n = 5 if v == 1 else max(5, min(16, bits // 8))
     p = int(pm.group(1)) & 0xFFFFFFFF
-    h = hashlib.md5(_PW_PAD + o[:32] + p.to_bytes(4, "little") + id0)
+    extra = b""
+    if r >= 4 and re.search(rb"/EncryptMetadata\s+false", enc):
+        extra = b"\xff\xff\xff\xff"
+    h = hashlib.md5(_PW_PAD + o[:32] + p.to_bytes(4, "little") + id0 + extra)
     key = h.digest()[:n]
     if r >= 3:
         for _ in range(50):
             key = hashlib.md5(key[:n]).digest()[:n]
-    return key, r, n
+    return key, n
+
+
+def _crypt_filter_method(enc: bytes) -> bytes:
+    """V4/V5 crypt-filter dispatch: the /CFM of the filter /StmF names
+    (spec default /Identity = streams are NOT encrypted)."""
+    sm = re.search(rb"/StmF\s*/([A-Za-z0-9]+)", enc)
+    name = sm.group(1) if sm else b"Identity"
+    if name == b"Identity":
+        return b"Identity"
+    fm = re.search(rb"/" + re.escape(name) + rb"\s*<<(.*?)>>", enc, re.S)
+    if not fm:
+        raise PdfParseError("encrypted PDF (missing crypt filter /%s)"
+                            % name.decode("ascii", "replace"))
+    cm = re.search(rb"/CFM\s*/([A-Za-z0-9]+)", fm.group(1))
+    if not cm:
+        raise PdfParseError("encrypted PDF (crypt filter without /CFM)")
+    return cm.group(1)
+
+
+def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B hardened hash (R6): iterated SHA-256/384/512
+    selected by an AES-128-CBC round, ≥64 rounds then data-dependent tail."""
+    import hashlib
+
+    from ._aes import cbc_encrypt_nopad
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _file_key_v5(enc: bytes, r: int) -> bytes:
+    """ISO 32000-2 Algorithm 2.A for the EMPTY user password: validate against
+    /U's validation salt, then unwrap the 32-byte file key from /UE with the
+    intermediate key from /U's key salt. R5 is the deprecated single-SHA-256
+    Adobe revision; R6 uses the hardened 2.B hash."""
+    import hashlib
+
+    from ._aes import cbc_decrypt_nopad
+
+    u = _pdf_string_value(enc, b"U")
+    ue = _pdf_string_value(enc, b"UE")
+    if u is None or len(u) < 48 or ue is None or len(ue) < 32:
+        raise PdfParseError("encrypted PDF (malformed /U or /UE)")
+    vsalt, ksalt = u[32:40], u[40:48]
+    if r == 6:
+        h = _hash_2b(b"", vsalt, b"")
+    else:
+        h = hashlib.sha256(vsalt).digest()
+    if h != u[:32]:
+        raise PdfParseError("encrypted PDF (user password required)")
+    ik = _hash_2b(b"", ksalt, b"") if r == 6 else hashlib.sha256(ksalt).digest()
+    return cbc_decrypt_nopad(ik, bytes(16), ue[:32])
 
 
 def _verify_empty_user_password(enc: bytes, key: bytes, r: int, id0: bytes) -> None:
-    """Algorithm 4 (R2) / Algorithm 5 (R3): recompute /U for the empty user
+    """Algorithm 4 (R2) / Algorithm 5 (R3/R4): recompute /U for the empty user
     password and compare — mismatch means a REAL password is required."""
     import hashlib
 
@@ -1659,14 +1723,63 @@ def _decryptor(data: bytes, objs: dict[int, bytes]):
         enc = _balanced_dict(data, data.find(b"<<", enc_m.start()))
     if enc is None:
         raise PdfParseError("encrypted PDF (unresolvable /Encrypt dictionary)")
+    fm = re.search(rb"/Filter\s*/([A-Za-z0-9]+)", enc)
+    if not fm or fm.group(1) != b"Standard":
+        raise PdfParseError("encrypted PDF (non-standard security handler)")
+    vm = re.search(rb"/V\s+(\d+)", enc)
+    v = int(vm.group(1)) if vm else 0
+    rm = re.search(rb"/R\s+(\d+)", enc)
+    r = int(rm.group(1)) if rm else 0
+
+    if v == 5:
+        # AES-256 (ISO 32000-2). File key straight from /U + /UE — no /ID, no
+        # per-object derivation; every stream is AES-256-CBC with an IV prefix.
+        if r not in (5, 6):
+            raise PdfParseError("encrypted PDF (unsupported /R for /V 5)")
+        cfm = _crypt_filter_method(enc)
+        if cfm == b"Identity":
+            return None
+        if cfm != b"AESV3":
+            raise PdfParseError("encrypted PDF (unsupported /CFM for /V 5)")
+        fkey = _file_key_v5(enc, r)
+
+        from ._aes import cbc_decrypt_pdf_stream
+
+        def decrypt_v5(objnum: int, raw: bytes, gen: int = 0) -> bytes:
+            return cbc_decrypt_pdf_stream(fkey, raw)
+
+        return decrypt_v5
+
+    if v not in (1, 2, 4) or r not in (2, 3, 4):
+        raise PdfParseError("encrypted PDF (unsupported /V or /R)")
+    cfm = b"V2"  # V1/V2: plain RC4, no crypt filters
+    if v == 4:
+        cfm = _crypt_filter_method(enc)
+        if cfm == b"Identity":
+            return None
+        if cfm not in (b"V2", b"AESV2"):
+            raise PdfParseError("encrypted PDF (unsupported /CFM)")
     idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data[region[0] : region[1] + 4096])
     if idm is None:  # /ID may sit in a different trailer section than /Encrypt
         idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data)
     if idm is None:
         raise PdfParseError("encrypted PDF (missing /ID)")
     id0 = bytes.fromhex(re.sub(rb"\s", b"", idm.group(1)).decode("ascii"))
-    key, r, n = _file_key(enc, id0)
+    key, n = _file_key(enc, id0, v, r)
     _verify_empty_user_password(enc, key, r, id0)
+
+    if cfm == b"AESV2":
+        from ._aes import cbc_decrypt_pdf_stream
+
+        def decrypt_aes(objnum: int, raw: bytes, gen: int = 0) -> bytes:
+            # Algorithm 1 with the AES salt, then AES-128-CBC w/ IV prefix
+            ok = hashlib.md5(
+                key + objnum.to_bytes(3, "little")
+                + gen.to_bytes(2, "little") + b"sAlT"
+            ).digest()[: min(n + 5, 16)]
+            return cbc_decrypt_pdf_stream(ok, raw)
+
+        return decrypt_aes
 
     def decrypt(objnum: int, raw: bytes, gen: int = 0) -> bytes:
         ok = hashlib.md5(
@@ -1699,13 +1812,18 @@ def _raw_stream_span(body: bytes, objs: dict[int, bytes]) -> tuple[int, int] | N
     return sm.start(1), sm.end(1)
 
 
+_LENGTH_PATCH_RE = re.compile(rb"/Length\s+\d+(?:\s+\d+\s+R)?")
+
+
 def _decrypt_streams(objs: dict[int, bytes], decrypt) -> None:
-    """Decrypt every top-level object's stream payload IN PLACE (RC4 preserves
-    length, so offsets stay valid), before ObjStm expansion — members of an
-    encrypted ObjStm are covered by the container's encryption, per spec.
-    Cross-reference streams are NEVER encrypted and are skipped. Generation
-    numbers are assumed 0 (the overwhelmingly common case; discovery does not
-    retain generations)."""
+    """Decrypt every top-level object's stream payload IN PLACE, before ObjStm
+    expansion — members of an encrypted ObjStm are covered by the container's
+    encryption, per spec. RC4 preserves length; AES-CBC strips the IV prefix
+    and padding, so the object's /Length is rewritten to the plaintext length
+    (bodies are already sliced out of the file, so downstream slicing is the
+    only consumer of /Length). Cross-reference streams are NEVER encrypted and
+    are skipped. Generation numbers are assumed 0 (the overwhelmingly common
+    case; discovery does not retain generations)."""
     for num in list(objs):
         body = objs[num]
         if re.search(rb"/Type\s*/XRef\b", body):
@@ -1714,7 +1832,14 @@ def _decrypt_streams(objs: dict[int, bytes], decrypt) -> None:
         if span is None:
             continue
         s, e = span
-        objs[num] = body[:s] + decrypt(num, body[s:e]) + body[e:]
+        dec = decrypt(num, body[s:e])
+        if len(dec) != e - s:
+            head = _LENGTH_PATCH_RE.sub(
+                b"/Length %d" % len(dec), body[:s], count=1
+            )
+            objs[num] = head + dec + body[e:]
+        else:
+            objs[num] = body[:s] + dec + body[e:]
 
 
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)

@@ -397,15 +397,52 @@ def test_rc4_real_password_still_sentinels():
         pdf_to_pdf_chars_payloads(pdf)
 
 
-def test_aes_v4_still_sentinels():
+def test_aes_v4_wrong_password_sentinels():
+    """V4/AESV2 is now DECRYPTED for the empty user password — a /U that does
+    not validate means a real password is required ⇒ sentinel."""
     content = f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()
     objs = basic_objs(content)
-    objs[6] = b"<< /Filter /Standard /V 4 /R 4 /O <00> /U <00> /P -44 >>"
+    objs[6] = (
+        b"<< /Filter /Standard /V 4 /R 4 /Length 128 /O <"
+        + b"00" * 32 + b"> /U <" + b"00" * 32 + b"> /P -44 "
+        b"/CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF >>"
+    )
     pdf = build_pdf(
         objs, trailer_extra=b" /Encrypt 6 0 R /ID [<0102> <0102>]"
     )
-    with pytest.raises(PdfParseError, match="encrypted"):
+    with pytest.raises(PdfParseError, match="password required"):
         pdf_to_pdf_chars_payloads(pdf)
+
+
+def test_unknown_cfm_sentinels():
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()
+    objs = basic_objs(content)
+    objs[6] = (
+        b"<< /Filter /Standard /V 4 /R 4 /Length 128 /O <"
+        + b"00" * 32 + b"> /U <" + b"00" * 32 + b"> /P -44 "
+        b"/CF << /StdCF << /CFM /Bogus >> >> /StmF /StdCF >>"
+    )
+    pdf = build_pdf(
+        objs, trailer_extra=b" /Encrypt 6 0 R /ID [<0102> <0102>]"
+    )
+    with pytest.raises(PdfParseError, match="unsupported /CFM"):
+        pdf_to_pdf_chars_payloads(pdf)
+
+
+def test_v4_stmf_identity_extracts_without_decryption():
+    """Per spec, /StmF /Identity (or absent) means streams are NOT encrypted —
+    the document must extract even though an /Encrypt dict is present."""
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()
+    objs = basic_objs(content)
+    objs[6] = (
+        b"<< /Filter /Standard /V 4 /R 4 /Length 128 /O <"
+        + b"00" * 32 + b"> /U <" + b"00" * 32 + b"> /P -44 "
+        b"/CF << /StdCF << /CFM /AESV2 >> >> /StmF /Identity >>"
+    )
+    pdf = build_pdf(
+        objs, trailer_extra=b" /Encrypt 6 0 R /ID [<0102> <0102>]"
+    )
+    assert _extract_texts(pdf) == [LONG1]
 
 
 def test_rc4_flate_combo():
@@ -535,3 +572,192 @@ def test_filtered_inline_image_fake_ei_followed_by_binary_rejected():
     )
     texts = _extract_texts(make_pdf([content]))
     assert texts[0] == LONG1 and texts[1].startswith(LONG2)
+
+
+# ---------------------------------------------------------------------------------
+# Oracle serializer: every deterministic variant must extract identically
+# (r4 VERDICT #6 — the driver's q_extract_pdf_bytes certifies the full
+# interpreter surface only if each variant really round-trips)
+# ---------------------------------------------------------------------------------
+
+
+def test_all_serializer_variants_extract_identically():
+    from pdf_extract_sys_spark.queries import N_PDF_VARIANTS, _serialize_variant_pdf
+
+    expected = _extract_texts(_serialize_variant_pdf(0, LONG1))
+    assert expected == [LONG1]
+    for v in range(1, N_PDF_VARIANTS):
+        pdf = _serialize_variant_pdf(v, LONG1)
+        assert _extract_texts(pdf) == expected, f"variant {v} diverged"
+
+
+def test_variant_6_is_really_rc4_encrypted():
+    """The ciphertext must not contain the plaintext (i.e. encryption actually
+    happened) and must carry the /Encrypt machinery."""
+    import zlib
+
+    from pdf_extract_sys_spark.queries import _serialize_variant_pdf
+
+    pdf = _serialize_variant_pdf(6, LONG1)
+    assert b"/Encrypt" in pdf and b"/Standard" in pdf
+    assert LONG1.encode() not in pdf
+    ct = zlib.compress(b"BT /F1 12 Tf 10 760 Td (" + LONG1.encode() + b") Tj ET")
+    assert ct not in pdf
+    pdf7 = _serialize_variant_pdf(7, LONG1)
+    assert b"/AESV2" in pdf7 and LONG1.encode() not in pdf7 and ct not in pdf7
+
+
+# ---------------------------------------------------------------------------------
+# AES empty-password decryption (round 5): V4/AESV2 and V5 R5/R6 AES-256
+# writers mirroring the reader's public-spec algorithms
+# ---------------------------------------------------------------------------------
+
+
+def _patch_length(body: bytes, new_len: int) -> bytes:
+    import re as _re
+
+    return _re.sub(rb"/Length\s+\d+", b"/Length %d" % new_len, body, count=1)
+
+
+def _encrypt_streams_with(objs: dict[int, bytes], enc_payload) -> dict[int, bytes]:
+    """Replace every stream payload with enc_payload(objnum, raw), patching
+    /Length (AES changes length)."""
+    out = dict(objs)
+    for num, body in objs.items():
+        m = body.find(b"stream\n")
+        if m < 0:
+            continue
+        s = m + len(b"stream\n")
+        e = body.rfind(b"\nendstream")
+        ct = enc_payload(num, body[s:e])
+        out[num] = _patch_length(body[:s], len(ct)) + ct + body[e:]
+    return out
+
+
+def encrypt_pdf_aesv2(objs: dict[int, bytes]) -> bytes:
+    """V4/R4 writer with /CFM /AESV2: same MD5-family key as R3, per-object
+    key salted with 'sAlT', AES-128-CBC with a deterministic IV prefix."""
+    from pdf_extract_sys_spark.sources._aes import cbc_encrypt
+
+    r, n = 4, 16
+    id0 = bytes(range(16))
+    p = -44
+    okey = hashlib.md5(_PW_PAD).digest()
+    for _ in range(50):
+        okey = hashlib.md5(okey[:n]).digest()
+    okey = okey[:n]
+    o = _rc4(okey, _PW_PAD)
+    for i in range(1, 20):
+        o = _rc4(bytes(b ^ i for b in okey), o)
+    key = _derive_file_key(o, p, id0, r, n)
+    u = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    u = u + b"\x00" * 16
+
+    def enc_payload(num: int, raw: bytes) -> bytes:
+        ok = hashlib.md5(
+            key + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+            + b"sAlT"
+        ).digest()[: min(n + 5, 16)]
+        iv = hashlib.md5(b"iv%d" % num).digest()
+        return cbc_encrypt(ok, iv, raw)
+
+    enc_objs = _encrypt_streams_with(objs, enc_payload)
+    encnum = max(objs) + 1
+    enc_objs[encnum] = (
+        b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
+        b"/StmF /StdCF /StrF /StdCF /O <" + o[:32].hex().encode()
+        + b"> /U <" + u[:32].hex().encode() + b"> /P " + str(p).encode()
+        + b" >>"
+    )
+    return build_pdf(
+        enc_objs,
+        trailer_extra=(
+            b" /Encrypt " + str(encnum).encode() + b" 0 R /ID [<"
+            + id0.hex().encode() + b"> <" + id0.hex().encode() + b">]"
+        ),
+    )
+
+
+def encrypt_pdf_aes256(objs: dict[int, bytes], *, r: int = 6,
+                       user_pw_matches: bool = True) -> bytes:
+    """V5 writer (ISO 32000-2): AES-256-CBC streams under a random-ish (but
+    deterministic) file key unwrapped from /UE; R6 uses the hardened 2.B
+    hash, R5 the deprecated single SHA-256."""
+    from pdf_extract_sys_spark.sources._aes import cbc_encrypt, cbc_encrypt_nopad
+    from pdf_extract_sys_spark.sources.pdf_bytes import _hash_2b
+
+    fkey = hashlib.sha256(b"round5-file-key").digest()
+    vsalt = b"VALSALT!"
+    ksalt = b"KEYSALT!"
+
+    def h(pw: bytes, salt: bytes, ud: bytes = b"") -> bytes:
+        return _hash_2b(pw, salt, ud) if r == 6 else hashlib.sha256(
+            pw + salt + ud
+        ).digest()
+
+    u = h(b"", vsalt) + vsalt + ksalt
+    ue = cbc_encrypt_nopad(h(b"", ksalt), bytes(16), fkey)
+    ovsalt, oksalt = b"OVALSLT!", b"OKEYSLT!"
+    o = h(b"", ovsalt, u[:48]) + ovsalt + oksalt
+    oe = cbc_encrypt_nopad(h(b"", oksalt, u[:48]), bytes(16), fkey)
+    if not user_pw_matches:
+        u = bytes(255 - b for b in u[:32]) + u[32:]
+
+    def enc_payload(num: int, raw: bytes) -> bytes:
+        iv = hashlib.md5(b"iv%d" % num).digest()
+        return cbc_encrypt(fkey, iv, raw)
+
+    enc_objs = _encrypt_streams_with(objs, enc_payload)
+    encnum = max(objs) + 1
+    enc_objs[encnum] = (
+        b"<< /Filter /Standard /V 5 /R " + str(r).encode() + b" /Length 256 "
+        b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
+        b"/StmF /StdCF /StrF /StdCF /U <" + u.hex().encode()
+        + b"> /UE <" + ue.hex().encode() + b"> /O <" + o.hex().encode()
+        + b"> /OE <" + oe.hex().encode() + b"> /P -44 /Perms <"
+        + (b"00" * 16) + b"> >>"
+    )
+    return build_pdf(
+        enc_objs,
+        trailer_extra=b" /Encrypt " + str(encnum).encode() + b" 0 R",
+    )
+
+
+def test_aesv2_empty_password_roundtrip():
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()
+    objs = basic_objs(content)
+    assert _extract_texts(encrypt_pdf_aesv2(objs)) == [LONG1]
+
+
+def test_aesv2_flate_combo():
+    """AES applies to the RAW stream bytes BEFORE filters — AES then Flate
+    must roundtrip, including the /Length rewrite (CBC shrinks the payload)."""
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1} {LONG2}) Tj ET".encode()
+    data = zlib.compress(content)
+    objs = basic_objs(b"", filt=b" /Filter /FlateDecode")
+    objs[4] = (b"<< /Length " + str(len(data)).encode()
+               + b" /Filter /FlateDecode >>\nstream\n" + data + b"\nendstream")
+    assert _extract_texts(encrypt_pdf_aesv2(objs)) == [LONG1, LONG2]
+
+
+def test_aes256_r6_empty_password_roundtrip():
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()
+    objs = basic_objs(content)
+    assert _extract_texts(encrypt_pdf_aes256(objs, r=6)) == [LONG1]
+
+
+def test_aes256_r5_empty_password_roundtrip():
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()
+    objs = basic_objs(content)
+    assert _extract_texts(encrypt_pdf_aes256(objs, r=5)) == [LONG1]
+
+
+def test_aes256_wrong_password_sentinels():
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()
+    objs = basic_objs(content)
+    pdf = encrypt_pdf_aes256(objs, r=6, user_pw_matches=False)
+    with pytest.raises(PdfParseError, match="password required"):
+        pdf_to_pdf_chars_payloads(pdf)
