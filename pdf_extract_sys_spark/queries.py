@@ -58,6 +58,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Parallelism floor for a compute-heavy map stage (per-blob PDF
+    serialization/decode, whole-corpus char synthesis). Partition count must
+    come from the COMPUTE, not the input bytes, when per-row cost dominates
+    scan cost: a dimension-scale scan (one small parquet split) would
+    otherwise pin the whole Python stage to one core of the cluster. No-op —
+    and shuffle-free — when the scan already yields >= default-parallelism
+    splits, which is the 100 TB case (input splits carry the parallelism);
+    the round-robin Exchange is only inserted for small inputs, where its
+    cost is microseconds against seconds of unlocked map work."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(p) if df.rdd.getNumPartitions() < p else df
+
+
 def _h56(col) -> F.Column:
     """56-bit md5-derived hash, bit-identical to the DuckDB expression above."""
     return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
@@ -1434,7 +1448,7 @@ def documents_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [batch.column("doc_id"), spans], schema=CORPUS_ARROW
             )
 
-    return docs.mapInArrow(encode, "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+    return _spread(docs).mapInArrow(encode, "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
 
 
 def q_extract_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1783,7 +1797,7 @@ def documents_to_pdf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names=["doc_id", "pdf"],
             )
 
-    return texts.mapInArrow(serialize, "doc_id string, pdf binary")
+    return _spread(texts).mapInArrow(serialize, "doc_id string, pdf binary")
 
 
 def _serialize_worklist_pdf(doc_id: int, text: str) -> bytes:
@@ -1854,7 +1868,7 @@ def documents_to_worklist_pdf_binary(spark: SparkSession, sf_dir: str) -> DataFr
                 names=["doc_id", "pdf"],
             )
 
-    return docs.mapInArrow(serialize, "doc_id string, pdf binary")
+    return _spread(docs).mapInArrow(serialize, "doc_id string, pdf binary")
 
 
 def q_needs_ocr_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
