@@ -1763,9 +1763,10 @@ def documents_to_pdf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     terminates each 10-word group with '.' (identical derivation to
     documents_to_corpus, so the same SQL oracle applies); an Arrow-batched
     serializer then writes a complete PDF file whose on-disk SERIALIZATION
-    varies deterministically per doc_id (mod 6 — uncompressed / Flate /
-    Flate+predictor+xref-stream / ObjStm / Type0+ToUnicode / Rotate 90, see
-    _serialize_variant_pdf) — the input shape a user holding actual PDFs has,
+    varies deterministically per doc_id (mod 8 — uncompressed / Flate /
+    Flate+predictor+xref-stream / ObjStm / Type0+ToUnicode / Rotate 90 /
+    RC4-encrypted / AES-encrypted, see _serialize_variant_pdf) — the input
+    shape a user holding actual PDFs has,
     covering the modern interpreter surface under the driver's oracle
     (r4 VERDICT #6). Binary serialization is per-blob Python inside mapInArrow
     — the declared binary boundary, same as the decode side."""

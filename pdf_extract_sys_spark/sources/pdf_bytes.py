@@ -187,10 +187,12 @@ _XREF_MAX_ENTRIES = 5_000_000  # hostile /Size / subsection counts terminate
 
 
 def _parse_classic_xref(data: bytes, off: int):
-    """Classic `xref` table at ``off`` → (entries, next_offsets). Entries are
-    (objnum, type, field2, field3) with type b'n' (in-use: field2 = byte
-    offset) or b'f' (free). next_offsets = /Prev chain plus the hybrid-file
-    /XRefStm pointer from the trailer."""
+    """Classic `xref` table at ``off`` → (entries, prev_offsets, xrefstm_off).
+    Entries are (objnum, type, field2, field3) with type b'n' (in-use: field2
+    = byte offset) or b'f' (free). prev_offsets = the /Prev chain; xrefstm_off
+    = the hybrid-file /XRefStm pointer (returned SEPARATELY because the spec
+    gives the XRefStm's entries precedence over this table's — hybrid writers
+    list ObjStm members as FREE here for legacy readers)."""
     m = _XREF_KW_RE.match(data, off)
     if not m:
         raise PdfParseError("startxref does not point at an xref section")
@@ -215,16 +217,19 @@ def _parse_classic_xref(data: bytes, off: int):
     if not entries:
         raise PdfParseError("empty classic xref")
     nexts: list[int] = []
+    xrefstm: int | None = None
     tm = re.compile(rb"\s*trailer").match(data, i)
     if tm:
         j = data.find(b"<<", tm.end())
         trailer = _balanced_dict(data, j) if j >= 0 else None
         if trailer:
-            for key in (rb"/Prev\s+(\d+)", rb"/XRefStm\s+(\d+)"):
-                km = re.search(key, trailer)
-                if km:
-                    nexts.append(int(km.group(1)))
-    return entries, nexts
+            pm = re.search(rb"/Prev\s+(\d+)", trailer)
+            if pm:
+                nexts.append(int(pm.group(1)))
+            xm = re.search(rb"/XRefStm\s+(\d+)", trailer)
+            if xm:
+                xrefstm = int(xm.group(1))
+    return entries, nexts, xrefstm
 
 
 def _parse_xref_stream(data: bytes, off: int):
@@ -376,7 +381,20 @@ def _objects_from_xref(data: bytes) -> dict[int, bytes]:
             raise PdfParseError("bad xref chain")
         seen.add(off)
         if _XREF_KW_RE.match(data, off):
-            entries, nexts = _parse_classic_xref(data, off)
+            entries, nexts, xrefstm = _parse_classic_xref(data, off)
+            if xrefstm is not None:
+                # hybrid-reference file (spec 7.5.8.4): the /XRefStm's entries
+                # take precedence over THIS classic table's — the table lists
+                # ObjStm members as FREE for legacy readers, and letting those
+                # free entries claim first would delete the objects. Parse the
+                # stream here and put its entries AHEAD of the table's.
+                hops += 1
+                if hops > 64 or xrefstm in seen or not (0 <= xrefstm < len(data)):
+                    raise PdfParseError("bad xref chain")
+                seen.add(xrefstm)
+                s_entries, s_nexts = _parse_xref_stream(data, xrefstm)
+                entries = s_entries + entries
+                nexts = s_nexts + nexts
         else:
             entries, nexts = _parse_xref_stream(data, off)
         for num, typ, f2, f3 in entries:

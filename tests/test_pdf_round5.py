@@ -373,6 +373,74 @@ def test_xref_stream_with_objstm_type2_entries():
     assert _extract_texts(make_pdf_xref_stream(content)) == [LONG1, LONG2]
 
 
+def test_hybrid_xrefstm_takes_precedence_over_classic_table():
+    """Hybrid-reference file (spec 7.5.8.4): startxref points at a CLASSIC
+    table whose trailer carries /XRefStm, and the STREAM's entries take
+    precedence over the table's. Here the classic table still points the page
+    dict at its stale top-level offset while the /XRefStm supersedes it with a
+    type-2 entry into an ObjStm holding the UPDATED page (new /Contents) —
+    reading the table first would extract the stale text. ObjStm expansion's
+    setdefault cannot mask this case: the stale object IS present top-level."""
+    stale = (b"BT /F1 12 Tf 72 720 Td "
+             b"(Stale text that a conforming reader must never surface here.)"
+             b" Tj ET")
+    fresh = f"BT /F1 12 Tf 72 720 Td ({LONG1} {PAD2}) Tj ET".encode()
+    top = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>"),
+        4: (b"<< /Length " + str(len(stale)).encode() + b" >>\nstream\n"
+            + stale + b"\nendstream"),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+        9: (b"<< /Length " + str(len(fresh)).encode() + b" >>\nstream\n"
+            + fresh + b"\nendstream"),
+    }
+    new_page = (b"<< /Type /Page /Parent 2 0 R /Contents 9 0 R "
+                b"/Resources << /Font << /F1 5 0 R >> >> >>")
+    hdr = b"3 0\n"
+    payload = hdr + new_page + b"\n"
+    sdata = zlib.compress(payload)
+    top[8] = (b"<< /Type /ObjStm /N 1 /First " + str(len(hdr)).encode()
+              + b" /Length " + str(len(sdata)).encode()
+              + b" /Filter /FlateDecode >>\nstream\n" + sdata + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(top):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + top[num] + b"\nendobj\n"
+    # the /XRefStm: obj 7, covering ONLY the superseding entries —
+    # type-2 for the updated page 3, type-1 for the ObjStm 8 and stream 9
+    xref_stream_off = len(out)
+    offsets[7] = xref_stream_off
+    rows = [(2, 8, 0), (1, xref_stream_off, 0), (1, offsets[8], 0),
+            (1, offsets[9], 0)]
+    raw = b"".join(bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+                   for t, f2, f3 in rows)
+    xdata = zlib.compress(raw)
+    out += (b"7 0 obj\n<< /Type /XRef /Size 10 /Index [3 1 7 3] /W [1 4 2]"
+            b" /Root 1 0 R /Filter /FlateDecode /Length "
+            + str(len(xdata)).encode() + b" >>\nstream\n" + xdata
+            + b"\nendstream\nendobj\n")
+    # the CLASSIC table startxref points at: objects 1-5 at their top-level
+    # offsets — including the STALE page 3 — with 6-9 marked free ("hidden"
+    # from legacy readers, per the hybrid convention)
+    table_off = len(out)
+    out += b"xref\n0 10\n0000000000 65535 f \n"
+    for num in range(1, 10):
+        if num in (1, 2, 3, 4, 5):
+            out += b"%010d 00000 n \n" % offsets[num]
+        else:
+            out += b"0000000000 65535 f \n"
+    out += (b"trailer\n<< /Size 10 /Root 1 0 R /XRefStm "
+            + str(xref_stream_off).encode() + b" >>\nstartxref\n"
+            + str(table_off).encode() + b"\n%%EOF")
+    texts = _extract_texts(bytes(out))
+    assert texts[0] == LONG1
+    assert all("Stale text" not in (t or "") for t in texts)
+
+
 # ---------------------------------------------------------------------------------
 # RC4 empty-user-password decryption (r4 VERDICT #5)
 # ---------------------------------------------------------------------------------
