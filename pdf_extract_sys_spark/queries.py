@@ -389,6 +389,190 @@ FROM documents
 """
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style REPETITION quality filter: duplicate-unigram fraction and
+    top-word fraction per document (the 'excessive repetition' gates a
+    training-data pipeline applies before dedup — Rae et al. 2021 §A1.1).
+
+    100 TB form: pure per-row Catalyst — split once, array_distinct, and the
+    mode via nested higher-order functions (transform over the DISTINCT words,
+    filter-count over the full array), all inside whole-stage codegen. No
+    explode, no groupBy, no shuffle, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    dw = F.array_distinct(ws)
+    d = F.size(dw)
+    topc = F.array_max(
+        F.transform(dw, lambda u: F.size(F.filter(ws, lambda x: x == u)))
+    )
+    dup_frac = F.round(F.lit(1.0) - d / n, 4)
+    top_frac = F.round(topc / n, 4)
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        d.alias("n_distinct_words"),
+        dup_frac.alias("dup_unigram_frac"),
+        topc.alias("top_word_count"),
+        top_frac.alias("top_word_frac"),
+        (top_frac <= 0.15).alias("passes_repetition_gate"),
+    )
+
+
+SQL_REPETITION = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS d,
+             list_max([len(list_filter(ws, x -> x = u))
+                       FOR u IN list_distinct(ws)]) AS topc
+      FROM w)
+SELECT doc_id,
+       n                                  AS n_words,
+       d                                  AS n_distinct_words,
+       ROUND(1.0 - d::DOUBLE / n, 4)      AS dup_unigram_frac,
+       topc                               AS top_word_count,
+       ROUND(topc::DOUBLE / n, 4)         AS top_word_frac,
+       ROUND(topc::DOUBLE / n, 4) <= 0.15 AS passes_repetition_gate
+FROM s
+"""
+
+
+# benchmark-decontamination parameters: holdout items are the 10-gram at words
+# 6..15 of every doc_id % 31 == 0 document — benchmark text EXTRACTED from the
+# corpus, the exact shape of real-world leakage
+_BENCH_MOD = 31
+_CONTAM_N = 10
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION: flag every document sharing a word-10-gram
+    with a held-out benchmark set (the standard n-gram-overlap contamination
+    check run before training — GPT-3 appendix C / PaLM §8 shape). The
+    benchmark here is derived from the corpus itself (one 10-gram per
+    doc_id % 31 == 0 document), so contamination is REAL exact-substring
+    containment, deterministic at every scale.
+
+    100 TB form: the benchmark side is tiny by construction ⇒ broadcast hash
+    join against the exploded corpus n-grams (no shuffle of the 100 TB side;
+    the explode is map-side and never materialized); only the per-doc count
+    aggregation exchanges, keyed on doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    bench = docs.filter((F.col("doc_id") % _BENCH_MOD == 0) & (n >= 15)).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(ws, 6, _CONTAM_N), " ").alias("item"),
+    )
+    grams = docs.filter(n >= _CONTAM_N).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - (_CONTAM_N - 1)),
+                lambda i: F.array_join(F.slice(ws, i, _CONTAM_N), " "),
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.join(F.broadcast(bench), grams.gram == bench.item)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.countDistinct("item").alias("n_items"),
+            F.min("bench_id").alias("first_bench_id"),
+        )
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+b AS (SELECT doc_id AS bench_id, array_to_string(ws[6:6 + {_CONTAM_N} - 1], ' ') AS item
+      FROM w WHERE doc_id % {_BENCH_MOD} = 0 AND len(ws) >= 15),
+g AS (SELECT doc_id,
+             unnest([array_to_string(ws[i:i + {_CONTAM_N} - 1], ' ')
+                     FOR i IN range(1, len(ws) - {_CONTAM_N} + 2)]) AS gram
+      FROM w WHERE len(ws) >= {_CONTAM_N})
+SELECT g.doc_id            AS doc_id,
+       COUNT(*)            AS n_hits,
+       COUNT(DISTINCT b.item) AS n_items,
+       MIN(b.bench_id)     AS first_bench_id
+FROM g JOIN b ON g.gram = b.item
+GROUP BY 1
+"""
+
+
+# PII patterns: identical semantics under Java regex (Spark) and RE2 (DuckDB) —
+# character classes, bounded repetition, and \b word boundaries only
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + REDACTION (emails / phone numbers / IPv4 addresses →
+    [EMAIL]/[PHONE]/[IP] placeholders) — the scrubbing pass a training-data
+    pipeline runs before tokenization. The synthetic corpus carries no PII, so
+    a deterministic per-doc injection (doc_id mod 4 selects none/email/phone/IP
+    payloads) makes the operator observable end-to-end; the SQL oracle injects
+    identically and must agree on counts AND redacted text.
+
+    100 TB form: pure per-row Catalyst regex (JVM codegen, no Python, no
+    shuffle); counts come from one regexp_extract_all per class and the
+    redaction from three chained regexp_replace."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    inject = (
+        F.when(did % 4 == 0, F.concat(F.lit(" Contact user"), did.cast("string"),
+                                      F.lit("@example.org for details")))
+        .when(did % 4 == 1, F.lit(" Call 555-867-5309 or 555-123-4567 before 5pm"))
+        .when(did % 4 == 2, F.lit(" Host 192.168.1.42 and 10.0.0.7 replied"))
+        .otherwise(F.lit(""))
+    )
+    aug = F.concat(F.col("text"), inject)
+
+    def count(pat: str) -> F.Column:
+        return F.size(F.regexp_extract_all(aug, F.lit(pat), F.lit(0)))
+
+    n_emails, n_phones, n_ips = count(_PII_EMAIL), count(_PII_PHONE), count(_PII_IP)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL, "[EMAIL]"), _PII_PHONE, "[PHONE]"
+        ),
+        _PII_IP,
+        "[IP]",
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        ((n_emails + n_phones + n_ips) > 0).alias("has_pii"),
+        redacted.alias("redacted"),
+    )
+
+
+SQL_PII = f"""
+WITH a AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+           WHEN 0 THEN ' Contact user' || doc_id || '@example.org for details'
+           WHEN 1 THEN ' Call 555-867-5309 or 555-123-4567 before 5pm'
+           WHEN 2 THEN ' Host 192.168.1.42 and 10.0.0.7 replied'
+           ELSE '' END AS aug
+  FROM documents)
+SELECT doc_id,
+       LEN(regexp_extract_all(aug, '{_PII_EMAIL}')) AS n_emails,
+       LEN(regexp_extract_all(aug, '{_PII_PHONE}')) AS n_phones,
+       LEN(regexp_extract_all(aug, '{_PII_IP}'))    AS n_ips,
+       (LEN(regexp_extract_all(aug, '{_PII_EMAIL}'))
+        + LEN(regexp_extract_all(aug, '{_PII_PHONE}'))
+        + LEN(regexp_extract_all(aug, '{_PII_IP}'))) > 0 AS has_pii,
+       regexp_replace(regexp_replace(regexp_replace(aug,
+         '{_PII_EMAIL}', '[EMAIL]', 'g'),
+         '{_PII_PHONE}', '[PHONE]', 'g'),
+         '{_PII_IP}', '[IP]', 'g') AS redacted
+FROM a
+"""
+
+
 # ---------------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------------
@@ -2048,6 +2232,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_lang_stopwords": (q_lang_stopwords, SQL_LANG),
     "q_lang_bigrams": (q_lang_bigrams, SQL_LANG_BIGRAMS),
     "q_token_count_bpe": (q_token_count_bpe, SQL_TOKENS),
+    "q_repetition_filter": (q_repetition_filter, SQL_REPETITION),
+    "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "q_pii_redact": (q_pii_redact, SQL_PII),
     "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "q_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
     "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_LSH_PAIRS),
