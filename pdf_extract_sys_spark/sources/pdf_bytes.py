@@ -869,7 +869,17 @@ def _parse_tounicode(data: bytes) -> dict[int, int]:
 
 
 def _parse_cid_widths(s: bytes) -> dict[int, int]:
-    """CIDFont /W array: 'c [w0 w1 ...]' runs and 'c1 c2 w' ranges → cid→width."""
+    """CIDFont /W array: 'c [w0 w1 ...]' runs and 'c1 c2 w' ranges → cid→width.
+
+    Raises PdfParseError (never ValueError) on a bracket token where a number
+    belongs — malformed /W arrays sentinel the doc instead of crashing the
+    executor task (round-5 fuzz finding)."""
+
+    def _num(t: bytes) -> int:
+        if t in (b"[", b"]"):
+            raise PdfParseError("malformed /W array")
+        return int(float(t))
+
     toks = re.findall(rb"\[|\]|-?\d+(?:\.\d+)?", s)
     out: dict[int, int] = {}
     i = 0
@@ -877,16 +887,16 @@ def _parse_cid_widths(s: bytes) -> dict[int, int]:
         if toks[i] in (b"[", b"]"):
             i += 1
             continue
-        c = int(float(toks[i]))
+        c = _num(toks[i])
         if i + 1 < len(toks) and toks[i + 1] == b"[":
             j = i + 2
             while j < len(toks) and toks[j] != b"]":
-                out[c] = int(float(toks[j]))
+                out[c] = _num(toks[j])
                 c += 1
                 j += 1
             i = j + 1
         elif i + 2 < len(toks):
-            c2, w = int(float(toks[i + 1])), int(float(toks[i + 2]))
+            c2, w = _num(toks[i + 1]), _num(toks[i + 2])
             if c2 - c > 0x10000:
                 raise PdfParseError("implausible /W range")
             for cc in range(c, c2 + 1):
@@ -1793,7 +1803,10 @@ def _decryptor(data: bytes, objs: dict[int, bytes]):
         idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data)
     if idm is None:
         raise PdfParseError("encrypted PDF (missing /ID)")
-    id0 = bytes.fromhex(re.sub(rb"\s", b"", idm.group(1)).decode("ascii"))
+    id_hex = re.sub(rb"\s", b"", idm.group(1))
+    if len(id_hex) % 2:  # spec 7.3.4.3: odd-digit hex strings pad with 0
+        id_hex += b"0"
+    id0 = bytes.fromhex(id_hex.decode("ascii"))
     key, n = _file_key(enc, id0, v, r)
     _verify_empty_user_password(enc, key, r, id0)
 

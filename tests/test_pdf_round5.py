@@ -17,6 +17,7 @@ surface from pdfium (main.py:161) — parity is behavioral.
 from __future__ import annotations
 
 import hashlib
+import re
 import zlib
 
 import pytest
@@ -829,3 +830,61 @@ def test_aes256_wrong_password_sentinels():
     pdf = encrypt_pdf_aes256(objs, r=6, user_pw_matches=False)
     with pytest.raises(PdfParseError, match="password required"):
         pdf_to_pdf_chars_payloads(pdf)
+
+
+# ---------------------------------------------------------------------------------
+# Fuzz: sentinel totality over the round-5 surface — every serializer variant
+# (xref streams, ObjStm+type-2, Type0, Rotate, RC4, AESV2) plus the hybrid
+# /XRefStm shape must, under byte mutation, either parse or raise exactly
+# PdfParseError/zlib.error (the Spark wrapper maps those to the error
+# sentinel); anything else would crash the executor task instead of
+# sentineling the document.
+# ---------------------------------------------------------------------------------
+
+
+def test_fuzz_round5_variants_sentinel_totality():
+    import random
+
+    from pdf_extract_sys_spark.queries import (
+        N_PDF_VARIANTS,
+        _serialize_variant_pdf,
+        _serialize_worklist_pdf,
+    )
+
+    rng = random.Random(20260818)
+    bases = [_serialize_variant_pdf(v, LONG1) for v in range(N_PDF_VARIANTS)]
+    bases.append(_serialize_worklist_pdf(3, LONG1))  # needs-OCR image page
+    for trial in range(45 * len(bases)):
+        b = bytearray(bases[trial % len(bases)])
+        for _ in range(rng.randrange(1, 12)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            pdf_to_pdf_chars_payloads(bytes(b))
+        except (PdfParseError, zlib.error):
+            pass  # expected failure modes; anything else propagates and fails
+
+
+def test_malformed_w_array_sentinels_not_valueerror():
+    """Fuzz finding: a bracket token where /W expects a number must raise
+    PdfParseError (→ doc sentinel), not ValueError (→ executor crash)."""
+    from pdf_extract_sys_spark.sources.pdf_bytes import _parse_cid_widths
+
+    for s in (b"[1 [ [ ]]", b"[1 2 ]", b"[1 [2] 3 ["):
+        try:
+            _parse_cid_widths(s)
+        except PdfParseError:
+            pass
+
+
+def test_odd_digit_id_pads_per_spec():
+    """Spec 7.3.4.3: hex strings with an odd digit count behave as if a
+    trailing 0 were appended — an odd-digit /ID must not ValueError out of
+    the decryptor (fuzz finding); with the padded ID the empty-password
+    check simply fails -> ordinary encrypted-PDF sentinel."""
+    content = f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()
+    pdf = encrypt_pdf(basic_objs(content))
+    m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", pdf)
+    assert m and len(m.group(1)) % 2 == 0
+    odd = pdf[: m.start(1)] + m.group(1)[:-1] + pdf[m.end(1):]
+    with pytest.raises(PdfParseError):
+        pdf_to_pdf_chars_payloads(odd)
