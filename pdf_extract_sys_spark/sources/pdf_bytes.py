@@ -48,12 +48,14 @@ Supported surface (documented, honest):
     scaled, and sheared text maps to faithful device-space envelopes; text
     state Tc (char spacing), Tw (word spacing, single-byte code 32), Ts
     (rise), Tz (horizontal scaling) applied to advances and glyph boxes;
-  * simple-font decode: Latin-1 byte strings, /WinAnsiEncoding (CP1252) base
+  * simple-font decode: Latin-1 byte strings, /WinAnsiEncoding (CP1252) and
+    /MacRomanEncoding (Annex D: 0xDB stays CURRENCY SIGN) base
     encodings, /Encoding /Differences arrays (AGL glyph-name subset +
     /uniXXXX names), and /ToUnicode CMaps with spec precedence OVER the
     encoding-derived mapping (subsetted pdftex/LaTeX fonts with custom
     built-in encodings decode correctly, r4 VERDICT #2); char advance from
-    /Widths + /FirstChar when present, else
+    /Widths + /FirstChar when present (Type3 glyph-space widths re-scaled
+    through the /FontMatrix x-scale, spec 9.6.5), else
     a built-in standard-14 metric (Courier fixed 600/1000; per-char public AFM
     ASCII tables for Helvetica/Times incl. Arial/TimesNewRoman aliases, with
     Bold/Oblique variants approximated by the base face; flat average
@@ -819,6 +821,11 @@ _CP1252_HIGH = {
     0x9E: 0x017E, 0x9F: 0x0178,
 }
 
+# MacRomanEncoding high half (PDF 1.7 Annex D). Python's mac_roman codec is
+# the post-OS-8.5 table; Annex D keeps 0xDB as CURRENCY SIGN, not EURO.
+_MACROMAN_HIGH = {b: ord(bytes([b]).decode("mac_roman")) for b in range(0x80, 0x100)}
+_MACROMAN_HIGH[0xDB] = 0x00A4
+
 _DIFF_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
 _TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
 _DESCFONT_RE = re.compile(rb"/DescendantFonts\s*(?:\[\s*(\d+)\s+\d+\s+R|\s+(\d+)\s+\d+\s+R)")
@@ -961,16 +968,36 @@ def _build_font(objs: dict[int, bytes], body: bytes) -> _Font:
         decode = _parse_tounicode(_stream_data(objs.get(int(tum.group(1)), b""), objs)) if tum else None
         return _Font(True, default, widths, decode)
     default, widths = _simple_widths(body)
+    if re.search(rb"/Subtype\s*/Type3\b", body):
+        # Type3 /Widths are in GLYPH space (spec 9.6.5): map to the standard
+        # 1/1000 text-space convention via the /FontMatrix x-scale so the
+        # interpreter's uniform size/1000 advance applies unchanged. OCR
+        # postprocessors commonly emit [0.01 0 0 0.01 0 0] bitmap fonts.
+        fm = re.search(
+            rb"/FontMatrix\s*\[\s*(-?[\d.]+)\s+-?[\d.]+\s+-?[\d.]+"
+            rb"\s+-?[\d.]+\s+-?[\d.]+\s+-?[\d.]+\s*\]", body)
+        if fm:
+            try:
+                xs = float(fm.group(1)) * 1000.0
+            except ValueError as e:
+                raise PdfParseError("malformed /FontMatrix") from e
+            if xs != 1.0:
+                widths = {c: w * xs for c, w in widths.items()}
+                default = default * xs
     decode: dict[int, int] | None = None
     if b"/WinAnsiEncoding" in body:
         decode = dict(_CP1252_HIGH)
+    elif b"/MacRomanEncoding" in body:
+        decode = dict(_MACROMAN_HIGH)
     # /Encoding dict with /Differences — direct or via reference
     enc_body = body
     em = re.search(rb"/Encoding\s+(\d+)\s+\d+\s+R", body)
     if em:
         enc_body = objs.get(int(em.group(1)), b"")
-        if b"/WinAnsiEncoding" in enc_body and decode is None:
+        if decode is None and b"/WinAnsiEncoding" in enc_body:
             decode = dict(_CP1252_HIGH)
+        elif decode is None and b"/MacRomanEncoding" in enc_body:
+            decode = dict(_MACROMAN_HIGH)
     dm = _DIFF_RE.search(enc_body)
     if dm:
         decode = dict(decode or {})

@@ -888,3 +888,57 @@ def test_odd_digit_id_pads_per_spec():
     odd = pdf[: m.start(1)] + m.group(1)[:-1] + pdf[m.end(1):]
     with pytest.raises(PdfParseError):
         pdf_to_pdf_chars_payloads(odd)
+
+
+# ---------------------------------------------------------------------------------
+# MacRomanEncoding + Type3 /FontMatrix (round-5 session-4 surface)
+# ---------------------------------------------------------------------------------
+
+
+def test_macroman_encoding_decodes_high_bytes():
+    """/MacRomanEncoding bytes >=0x80 decode via the Annex-D table, not
+    Latin-1 (0x8E is e-acute in MacRoman, a control char in Latin-1)."""
+    content = b"BT /F1 12 Tf 72 720 Td (caf\x8e " + PAD2.encode() + b") Tj ET"
+    pdf = make_pdf([content]).replace(
+        b"/BaseFont /Courier >>", b"/BaseFont /Courier /Encoding /MacRomanEncoding >>")
+    texts = _extract_texts(pdf)
+    assert texts[0].startswith("café ")
+
+
+def test_macroman_via_encoding_dict_with_differences_override():
+    """/BaseEncoding /MacRomanEncoding inside an /Encoding dict binds, and
+    /Differences still take precedence over the base table."""
+    content = b"BT /F1 12 Tf 72 720 Td (caf\x8e \x80" + PAD2.encode() + b") Tj ET"
+    pdf = make_pdf([content]).replace(
+        b"/BaseFont /Courier >>",
+        b"/BaseFont /Courier /Encoding << /BaseEncoding /MacRomanEncoding"
+        b" /Differences [128 /Z] >> >>")
+    texts = _extract_texts(pdf)
+    # 0x8E -> e-acute from the base table; 0x80 -> Z from /Differences
+    assert texts[0].startswith("café Z")
+
+
+def test_macroman_currency_not_euro_at_0xdb():
+    """PDF Annex D keeps 0xDB as CURRENCY SIGN; the post-OS-8.5 codec table
+    (euro) must not leak through."""
+    content = b"BT /F1 12 Tf 72 720 Td (\xdb " + PAD2.encode() + b") Tj ET"
+    pdf = make_pdf([content]).replace(
+        b"/BaseFont /Courier >>", b"/BaseFont /Courier /Encoding /MacRomanEncoding >>")
+    assert _extract_texts(pdf)[0].startswith("¤ ")
+
+
+def test_type3_fontmatrix_scales_glyph_space_widths():
+    """Type3 /Widths are in glyph space (spec 9.6.5): with /FontMatrix
+    [0.01 ...] a width of 30 spans the same text-space advance as a standard
+    font's 300 — OCR postprocessors emit exactly this bitmap-font shape."""
+    pdf = make_pdf([b"BT /F1 10 Tf 0 700 Td (AB) Tj ET"])
+    pdf = pdf.replace(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+        b"<< /Type /Font /Subtype /Type3 /FontMatrix [0.01 0 0 0.01 0 0]"
+        b" /FontBBox [0 0 100 100]"
+        b" /Encoding << /Differences [65 /A 66 /B] >>"
+        b" /FirstChar 65 /Widths [30 70] >>")
+    payload = pdf_to_pdf_chars_payloads(pdf)[0]
+    lines = [ln.split("\t") for ln in payload.split("\n")[1:]]
+    assert [int(ln[0], 16) for ln in lines[:2]] == [ord("A"), ord("B")]
+    assert float(lines[0][3]) == 3.0 and float(lines[1][3]) == 10.0
