@@ -573,6 +573,133 @@ FROM a
 """
 
 
+_PACK_CTX = 2048      # tokens per training window
+_PACK_SHARDS = 8      # independent packing streams (scale with the cluster)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence PACKING for LLM pre-training: concatenate documents in a
+    deterministic order and chunk the token stream into fixed 2048-token
+    training windows (GPT-style concat-then-chunk), assigning each document
+    its window span — window id, token offset inside the window, and how many
+    windows it straddles.
+
+    100 TB form: a single global concat order would serialize the corpus
+    through one sort partition, so packing is SHARDED — docs hash to one of
+    N independent streams (doc_id % N) and windows never cross shards, so
+    shards pack embarrassingly parallel; within a shard the running token sum
+    is one window-function cumsum (partial-agg friendly, no Python). N scales
+    with the cluster (here 8 for the test corpus); the remaining per-shard
+    sort is the standard Exchange+Sort Spark already does for any window, and
+    shard streams stay independent under resharding — repacking after a
+    corpus append only touches the appended suffix of each stream."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), F.lit(0)
+        )
+    )
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        toks.cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    # materialize the cumsum ONCE (a single _we slot in the Window node), then
+    # derive the span with integer `div` — exact past 2^53 where FLOOR(double)
+    # would round, and floor == div since token starts are non-negative
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr(f"(cum - n_tokens) div {_PACK_CTX}").alias("seq_id"),
+        (start % _PACK_CTX).cast("long").alias("tok_offset"),
+        F.expr(
+            f"(cum - 1) div {_PACK_CTX} - (cum - n_tokens) div {_PACK_CTX} + 1"
+        ).alias("n_windows"),
+    )
+
+
+_STRAT_MOD = 4_294_967_296          # 2^32
+_STRAT_MULT = 2_654_435_761         # Knuth multiplicative hash (2^32/phi)
+_STRAT_RATES = ((500, "short", 1000), (2000, "medium", 5000), (None, "long", 10000))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified DETERMINISTIC downsampling — the data-mixture step of a
+    training pipeline (keep 10% of short docs, 50% of medium, all long ones),
+    reported as realized per-stratum counts.
+
+    The keep decision is a pure function of doc_id (multiplicative hash →
+    uniform in [0, 2^32)), NOT rand(): the same document draws the same
+    verdict on every run and at any parallelism, so incremental re-runs over
+    an appended corpus never resample history (a Bernoulli `rand()` sample
+    would). 100 TB form: one map + one partial-agg groupBy over 3 strata —
+    no shuffle wider than 3 rows, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    band = (
+        F.when(n < _STRAT_RATES[0][0], _STRAT_RATES[0][1])
+        .when(n < _STRAT_RATES[1][0], _STRAT_RATES[1][1])
+        .otherwise(_STRAT_RATES[2][1])
+    )
+    u = (F.col("doc_id") * _STRAT_MULT) % _STRAT_MOD
+    rate = (
+        F.when(n < _STRAT_RATES[0][0], _STRAT_RATES[0][2])
+        .when(n < _STRAT_RATES[1][0], _STRAT_RATES[1][2])
+        .otherwise(_STRAT_RATES[2][2])
+    )
+    kept = (u % 10000 < rate).cast("long")
+    return (
+        docs.select(band.alias("band"), kept.alias("kept"))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+        )
+    )
+
+
+SQL_STRATIFIED = f"""
+WITH t AS (
+  SELECT CASE WHEN LEN(text) < {_STRAT_RATES[0][0]} THEN '{_STRAT_RATES[0][1]}'
+              WHEN LEN(text) < {_STRAT_RATES[1][0]} THEN '{_STRAT_RATES[1][1]}'
+              ELSE '{_STRAT_RATES[2][1]}' END AS band,
+         CASE WHEN (doc_id * {_STRAT_MULT}) % {_STRAT_MOD} % 10000 <
+              CASE WHEN LEN(text) < {_STRAT_RATES[0][0]} THEN {_STRAT_RATES[0][2]}
+                   WHEN LEN(text) < {_STRAT_RATES[1][0]} THEN {_STRAT_RATES[1][2]}
+                   ELSE {_STRAT_RATES[2][2]} END
+              THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(kept) AS BIGINT) AS n_kept
+FROM t GROUP BY band
+"""
+
+
+SQL_PACK = f"""
+WITH t AS (
+  SELECT doc_id,
+         doc_id % {_PACK_SHARDS} AS shard,
+         LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t WHERE n_tokens > 0
+)
+SELECT doc_id, shard, n_tokens,
+       CAST((cum - n_tokens) // {_PACK_CTX} AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % {_PACK_CTX} AS BIGINT) AS tok_offset,
+       CAST((cum - 1) // {_PACK_CTX} - (cum - n_tokens) // {_PACK_CTX} + 1
+            AS BIGINT) AS n_windows
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------------
@@ -1760,6 +1887,28 @@ def _helv_w_array() -> bytes:
     ) + b"]"
 
 
+def _reencoded_font_dict() -> bytes:
+    """Variant-8 font: printable ASCII re-mapped to codes 160-254 via a full
+    /Differences array of AGL names (letters self-named), with explicit
+    /Widths carrying the SAME Helvetica AFM values at the shifted codes — the
+    subsetted-pdftex custom-encoding shape, byte-identical geometry."""
+    from .sources.pdf_bytes import _AFM_ASCII, _GLYPH_NAMES
+
+    by_cp = {cp: n for n, cp in _GLYPH_NAMES.items()}
+    names = [
+        bytes([cp]) if (0x41 <= cp <= 0x5A or 0x61 <= cp <= 0x7A) else by_cp[cp]
+        for cp in range(0x20, 0x7F)
+    ]
+    return (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /FirstChar 160 /Widths ["
+        + b" ".join(b"%d" % w for w in _AFM_ASCII[b"Helvetica"])
+        + b"] /Encoding << /Differences [160 "
+        + b" ".join(b"/" + n for n in names)
+        + b"] >> >>"
+    )
+
+
 def _rc4_encrypt_objects(
     objs: dict[int, bytes], aes: bool = False
 ) -> tuple[dict[int, bytes], bytes, bytes]:
@@ -1836,14 +1985,14 @@ def _rc4_encrypt_objects(
     return out, trailer_extra, id0
 
 
-N_PDF_VARIANTS = 8
+N_PDF_VARIANTS = 9
 
 
 def _serialize_variant_pdf(doc_id: int, text: str) -> bytes:
     """One REAL single-page PDF for ``text``, its SERIALIZATION deterministically
-    varied by doc_id mod 8 (r4 VERDICT #6) — so the driver's q_extract_pdf_bytes
+    varied by doc_id mod 9 (r4 VERDICT #6) — so the driver's q_extract_pdf_bytes
     oracle certifies the full round-3/4/5 interpreter surface, not just the
-    simplest PDF 1.4 shape. All eight variants must extract to IDENTICAL spans:
+    simplest PDF 1.4 shape. All nine variants must extract to IDENTICAL spans:
 
       0: uncompressed content stream, classic xref table + trailer
       1: FlateDecode content, classic xref
@@ -1860,12 +2009,20 @@ def _serialize_variant_pdf(doc_id: int, text: str) -> bytes:
       7: AES-128-ENCRYPTED (V4/R4 crypt filter /AESV2, empty user password)
          with Flate content — drives the AES path (IV prefix, CBC padding,
          /Length rewrite) through the oracle
+      8: custom-RE-ENCODED simple font (the subsetted-pdftex shape): every
+         text byte shifted +0x80, decoded back through a full /Differences
+         array of AGL glyph names, with /FirstChar 160 /Widths carrying the
+         same Helvetica AFM values so geometry is byte-identical
     """
     import zlib
 
     v = doc_id % N_PDF_VARIANTS
     esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
-    if v == 4:
+    if v == 8:
+        # literal string of shifted bytes (all >= 0xA0: no delimiters/escapes)
+        shifted = bytes(c + 0x80 for c in text.encode("ascii"))
+        content = b"BT /F1 12 Tf 10 760 Td (" + shifted + b") Tj ET"
+    elif v == 4:
         content = (
             b"BT /F1 12 Tf 10 760 Td <"
             + text.encode("utf-16-be").hex().encode() + b"> Tj ET"
@@ -1901,7 +2058,8 @@ def _serialize_variant_pdf(doc_id: int, text: str) -> bytes:
         3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
             + page_extra
             + b" /Resources << /Font << /F1 5 0 R >> >> >>"),
-        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        5: (_reencoded_font_dict() if v == 8
+            else b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
     }
     objs: dict[int, bytes] = {4: cobj}
     if v == 4:
@@ -1947,7 +2105,7 @@ def documents_to_pdf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     terminates each 10-word group with '.' (identical derivation to
     documents_to_corpus, so the same SQL oracle applies); an Arrow-batched
     serializer then writes a complete PDF file whose on-disk SERIALIZATION
-    varies deterministically per doc_id (mod 8 — uncompressed / Flate /
+    varies deterministically per doc_id (mod 9 — uncompressed / Flate /
     Flate+predictor+xref-stream / ObjStm / Type0+ToUnicode / Rotate 90 /
     RC4-encrypted / AES-encrypted, see _serialize_variant_pdf) — the input
     shape a user holding actual PDFs has,
@@ -2235,6 +2393,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_repetition_filter": (q_repetition_filter, SQL_REPETITION),
     "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "q_pii_redact": (q_pii_redact, SQL_PII),
+    "q_pack_sequences": (q_pack_sequences, SQL_PACK),
+    "q_stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
     "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "q_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
     "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_LSH_PAIRS),
