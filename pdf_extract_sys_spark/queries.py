@@ -370,21 +370,28 @@ FROM h
 """
 
 
+# THE tokenizer definition — every operator that counts tokens (token stats,
+# sequence packing) interpolates this one constant into both its Spark plan
+# and its SQL oracle, so the engines can never drift on what a token is
+_BPE_TOKEN_PAT = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex tokenizer counts (whitespace + word/number/punct classes)."""
     docs = _t(spark, sf_dir, "documents")
-    pat = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))).alias("n_bpe_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_BPE_TOKEN_PAT), F.lit(0))
+        ).alias("n_bpe_tokens"),
         F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
     )
 
 
-SQL_TOKENS = """
+SQL_TOKENS = f"""
 SELECT doc_id,
-       LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens,
-       LEN(string_split(text, ' '))                                    AS n_ws_tokens
+       LEN(regexp_extract_all(text, '{_BPE_TOKEN_PAT}')) AS n_bpe_tokens,
+       LEN(string_split(text, ' '))                      AS n_ws_tokens
 FROM documents
 """
 
@@ -395,16 +402,29 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline applies before dedup — Rae et al. 2021 §A1.1).
 
     100 TB form: pure per-row Catalyst — split once, array_distinct, and the
-    mode via nested higher-order functions (transform over the DISTINCT words,
-    filter-count over the full array), all inside whole-stage codegen. No
-    explode, no groupBy, no shuffle, no Python."""
+    mode count as the longest equal-neighbor run of the SORTED array (one
+    aggregate pass, O(n log n); a transform-over-distinct formulation is
+    O(distinct x words) and stalls a whole task on a single mega-doc row).
+    No explode, no groupBy, no shuffle, no Python. The gate applies BOTH
+    repetition metrics (dup-unigram and top-word fractions)."""
     docs = _t(spark, sf_dir, "documents")
     ws = F.split(F.col("text"), " ")
     n = F.size(ws)
-    dw = F.array_distinct(ws)
-    d = F.size(dw)
-    topc = F.array_max(
-        F.transform(dw, lambda u: F.size(F.filter(ws, lambda x: x == u)))
+    d = F.size(F.array_distinct(ws))
+
+    def _run(acc, x):
+        r = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), r.alias("run"),
+            F.greatest(acc["best"], r).alias("best"),
+        )
+
+    topc = F.aggregate(
+        F.array_sort(ws),
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).alias("run"), F.lit(0).alias("best")),
+        _run,
+        lambda acc: acc["best"],
     )
     dup_frac = F.round(F.lit(1.0) - d / n, 4)
     top_frac = F.round(topc / n, 4)
@@ -415,23 +435,36 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_frac.alias("dup_unigram_frac"),
         topc.alias("top_word_count"),
         top_frac.alias("top_word_frac"),
-        (top_frac <= 0.15).alias("passes_repetition_gate"),
+        ((dup_frac <= _REP_MAX_DUP) & (top_frac <= _REP_MAX_TOP)).alias(
+            "passes_repetition_gate"),
     )
 
 
-SQL_REPETITION = """
+# repetition-gate thresholds (Gopher-style; Rae et al. 2021 §A1.1 ballpark)
+_REP_MAX_DUP = 0.60   # max fraction of words that are repeats of earlier words
+_REP_MAX_TOP = 0.15   # max fraction contributed by the single most common word
+
+# the oracle computes the mode count RELATIONALLY (unnest + two GROUP BYs) —
+# different algorithm, same values, and O(n) rather than quadratic
+SQL_REPETITION = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-s AS (SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS d,
-             list_max([len(list_filter(ws, x -> x = u))
-                       FOR u IN list_distinct(ws)]) AS topc
-      FROM w)
+cnt AS (SELECT doc_id, MAX(c) AS topc FROM (
+          SELECT doc_id, word, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+          GROUP BY doc_id, word)
+        GROUP BY doc_id),
+s AS (SELECT w.doc_id, len(ws) AS n, len(list_distinct(ws)) AS d,
+             CAST(cnt.topc AS INT) AS topc
+      FROM w JOIN cnt ON w.doc_id = cnt.doc_id)
 SELECT doc_id,
        n                                  AS n_words,
        d                                  AS n_distinct_words,
        ROUND(1.0 - d::DOUBLE / n, 4)      AS dup_unigram_frac,
        topc                               AS top_word_count,
        ROUND(topc::DOUBLE / n, 4)         AS top_word_frac,
-       ROUND(topc::DOUBLE / n, 4) <= 0.15 AS passes_repetition_gate
+       ROUND(1.0 - d::DOUBLE / n, 4) <= {_REP_MAX_DUP}
+         AND ROUND(topc::DOUBLE / n, 4) <= {_REP_MAX_TOP}
+                                          AS passes_repetition_gate
 FROM s
 """
 
@@ -595,9 +628,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus append only touches the appended suffix of each stream."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.size(
-        F.regexp_extract_all(
-            F.col("text"), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), F.lit(0)
-        )
+        F.regexp_extract_all(F.col("text"), F.lit(_BPE_TOKEN_PAT), F.lit(0))
     )
     t = docs.select(
         "doc_id",
@@ -624,6 +655,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STRAT_MOD = 4_294_967_296          # 2^32
 _STRAT_MULT = 2_654_435_761         # Knuth multiplicative hash (2^32/phi)
+# (MULT * 2^16) mod 2^32 — lets the hash multiply run in 16-bit halves so no
+# intermediate exceeds ~2^48: a raw doc_id * MULT product overflows int64 at
+# doc_id >= 2^63/MULT ~= 3.5e9, exactly the id range a 100 TB corpus reaches
+# (Spark 4 ANSI mode and DuckDB both abort on the overflow, not wrap)
+_STRAT_MULT_HI = (_STRAT_MULT * 65_536) % _STRAT_MOD
 _STRAT_RATES = ((500, "short", 1000), (2000, "medium", 5000), (None, "long", 10000))
 
 
@@ -645,7 +681,12 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(n < _STRAT_RATES[1][0], _STRAT_RATES[1][1])
         .otherwise(_STRAT_RATES[2][1])
     )
-    u = (F.col("doc_id") * _STRAT_MULT) % _STRAT_MOD
+    # (doc_id_low32 * MULT) mod 2^32, computed in 16-bit halves (see
+    # _STRAT_MULT_HI): equal to the direct product for all doc_id, without
+    # the int64 overflow the direct product hits past doc_id ~3.5e9
+    lo = F.col("doc_id") % 65_536
+    hi = F.expr("doc_id div 65536") % 65_536
+    u = (lo * _STRAT_MULT + hi * _STRAT_MULT_HI) % _STRAT_MOD
     rate = (
         F.when(n < _STRAT_RATES[0][0], _STRAT_RATES[0][2])
         .when(n < _STRAT_RATES[1][0], _STRAT_RATES[1][2])
@@ -667,7 +708,9 @@ WITH t AS (
   SELECT CASE WHEN LEN(text) < {_STRAT_RATES[0][0]} THEN '{_STRAT_RATES[0][1]}'
               WHEN LEN(text) < {_STRAT_RATES[1][0]} THEN '{_STRAT_RATES[1][1]}'
               ELSE '{_STRAT_RATES[2][1]}' END AS band,
-         CASE WHEN (doc_id * {_STRAT_MULT}) % {_STRAT_MOD} % 10000 <
+         CASE WHEN ((doc_id % 65536) * {_STRAT_MULT}
+                    + (doc_id // 65536) % 65536 * {_STRAT_MULT_HI})
+                   % {_STRAT_MOD} % 10000 <
               CASE WHEN LEN(text) < {_STRAT_RATES[0][0]} THEN {_STRAT_RATES[0][2]}
                    WHEN LEN(text) < {_STRAT_RATES[1][0]} THEN {_STRAT_RATES[1][2]}
                    ELSE {_STRAT_RATES[2][2]} END
@@ -683,7 +726,7 @@ SQL_PACK = f"""
 WITH t AS (
   SELECT doc_id,
          doc_id % {_PACK_SHARDS} AS shard,
-         LEN(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_tokens
+         LEN(regexp_extract_all(text, '{_BPE_TOKEN_PAT}')) AS n_tokens
   FROM documents
 ), c AS (
   SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -2107,8 +2150,8 @@ def documents_to_pdf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     serializer then writes a complete PDF file whose on-disk SERIALIZATION
     varies deterministically per doc_id (mod 9 — uncompressed / Flate /
     Flate+predictor+xref-stream / ObjStm / Type0+ToUnicode / Rotate 90 /
-    RC4-encrypted / AES-encrypted, see _serialize_variant_pdf) — the input
-    shape a user holding actual PDFs has,
+    RC4-encrypted / AES-encrypted / Differences+AGL-re-encoded font, see
+    _serialize_variant_pdf) — the input shape a user holding actual PDFs has,
     covering the modern interpreter surface under the driver's oracle
     (r4 VERDICT #6). Binary serialization is per-blob Python inside mapInArrow
     — the declared binary boundary, same as the decode side."""

@@ -879,8 +879,10 @@ def _parse_cid_widths(s: bytes) -> dict[int, int]:
     """CIDFont /W array: 'c [w0 w1 ...]' runs and 'c1 c2 w' ranges → cid→width.
 
     Raises PdfParseError (never ValueError) on a bracket token where a number
-    belongs — malformed /W arrays sentinel the doc instead of crashing the
-    executor task (round-5 fuzz finding)."""
+    belongs. The per-PAGE handler in pdf_to_page_records catches only
+    PdfParseError, so a ValueError here escaped page isolation and escalated a
+    one-page font failure to a whole-doc sentinel (the per-doc blanket handler
+    still caught it — nothing ever crashed a task). Round-5 fuzz finding."""
 
     def _num(t: bytes) -> int:
         if t in (b"[", b"]"):

@@ -837,8 +837,9 @@ def test_aes256_wrong_password_sentinels():
 # (xref streams, ObjStm+type-2, Type0, Rotate, RC4, AESV2) plus the hybrid
 # /XRefStm shape must, under byte mutation, either parse or raise exactly
 # PdfParseError/zlib.error (the Spark wrapper maps those to the error
-# sentinel); anything else would crash the executor task instead of
-# sentineling the document.
+# sentinel); anything else escapes the per-PAGE PdfParseError handler and
+# escalates a one-page failure to a whole-doc sentinel (the per-doc blanket
+# handler still catches it — coarser isolation, not a task crash).
 # ---------------------------------------------------------------------------------
 
 
@@ -866,7 +867,8 @@ def test_fuzz_round5_variants_sentinel_totality():
 
 def test_malformed_w_array_sentinels_not_valueerror():
     """Fuzz finding: a bracket token where /W expects a number must raise
-    PdfParseError (→ doc sentinel), not ValueError (→ executor crash)."""
+    PdfParseError (→ page-scoped error span), not ValueError (which skips
+    per-page isolation and sentinels the whole doc)."""
     from pdf_extract_sys_spark.sources.pdf_bytes import _parse_cid_widths
 
     for s in (b"[1 [ [ ]]", b"[1 2 ]", b"[1 [2] 3 ["):
