@@ -63,6 +63,10 @@ Supported surface (documented, honest):
   * composite Type0/CID fonts with /Identity-H: 2-byte CID show strings,
     /DescendantFonts /W width arrays with /DW default, and /ToUnicode CMaps
     (bfchar + bfrange, incl. array-form ranges) for codepoint mapping;
+    ToUnicode destinations are full UTF-16BE — surrogate pairs yield the
+    supplementary-plane char and multi-unit ligature targets (fi/ffi/fl)
+    expand to one event per char with the glyph box split along the advance;
+    an EMBEDDED CMap stream /Encoding sentinels (never Identity-H mojibake);
   * Form XObjects: `Do` on a /Subtype /Form EXECUTES the form's content
     stream inline (own /Resources when present else the caller's, /Matrix
     concatenated onto the CTM, bounded nesting) — text in stamps/letterheads/
@@ -826,6 +830,11 @@ _CP1252_HIGH = {
 _MACROMAN_HIGH = {b: ord(bytes([b]).decode("mac_roman")) for b in range(0x80, 0x100)}
 _MACROMAN_HIGH[0xDB] = 0x00A4
 
+# string-valued forms of the base-encoding tables — the interpreter's decode
+# maps are charcode→str so ToUnicode ligature/surrogate targets fit in them
+_CP1252_HIGH_S = {b: chr(cp) for b, cp in _CP1252_HIGH.items()}
+_MACROMAN_HIGH_S = {b: chr(cp) for b, cp in _MACROMAN_HIGH.items()}
+
 _DIFF_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
 _TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
 _DESCFONT_RE = re.compile(rb"/DescendantFonts\s*(?:\[\s*(\d+)\s+\d+\s+R|\s+(\d+)\s+\d+\s+R)")
@@ -848,30 +857,58 @@ def _parse_differences(s: bytes) -> dict[int, int]:
     return out
 
 
-def _parse_tounicode(data: bytes) -> dict[int, int]:
-    """ToUnicode CMap → src code → unicode codepoint. bfchar pairs plus both
-    bfrange forms (<lo> <hi> <dst> and <lo> <hi> [<d0> <d1> ...]). Multi-unit
-    UTF-16 targets take the first unit (surrogate pairs out of scope)."""
-    out: dict[int, int] = {}
+def _utf16_target(hx: bytes) -> str:
+    """ToUnicode destination hex string → text, decoded as UTF-16BE (spec
+    9.10.3): surrogate PAIRS become their supplementary-plane character and
+    multi-unit targets keep every character (ligature glyphs — fi/ffi/fl in
+    any pdftex document — map to multi-char strings; truncating to the first
+    unit silently drops letters). Malformed sequences (odd length, lone
+    surrogates) become U+FFFD rather than raising — pdfium tolerates them,
+    and a lone surrogate must never reach the Arrow layer (invalid UTF-8)."""
+    if len(hx) % 2:
+        hx += b"0"
+    raw = bytes.fromhex(hx.decode("ascii"))
+    return raw.decode("utf-16-be", errors="replace")
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """ToUnicode CMap → src code → unicode string (usually one char; ligature
+    glyphs map to several, supplementary-plane chars come from surrogate
+    pairs). bfchar pairs plus both bfrange forms (<lo> <hi> <dst> and
+    <lo> <hi> [<d0> <d1> ...]); the increment form advances the LAST UTF-16
+    code unit of the destination, per the spec's bfrange definition."""
+    out: dict[int, str] = {}
     for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
-        for pm in re.finditer(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)):
-            out[int(pm.group(1), 16)] = int(pm.group(2)[:4], 16)
+        for pm in re.finditer(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]*)>", m.group(1)):
+            out[int(pm.group(1), 16)] = _utf16_target(pm.group(2))
     for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
         for pm in re.finditer(
             rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[(.*?)\]", m.group(1), re.S
         ):
             lo = int(pm.group(1), 16)
-            for i, d in enumerate(re.findall(rb"<([0-9A-Fa-f]+)>", pm.group(3))):
-                out[lo + i] = int(d[:4], 16)
+            for i, d in enumerate(re.findall(rb"<([0-9A-Fa-f]*)>", pm.group(3))):
+                out[lo + i] = _utf16_target(d)
         for pm in re.finditer(
             rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
         ):
             lo, hi = int(pm.group(1), 16), int(pm.group(2), 16)
             if hi - lo > 0x10000:
                 raise PdfParseError("implausible bfrange span")
-            dst = int(pm.group(3)[:4], 16)
+            dhx = pm.group(3)
+            if len(dhx) % 2:
+                dhx += b"0"
+            raw = bytes.fromhex(dhx.decode("ascii"))
+            prefix, last = raw[:-2], int.from_bytes(raw[-2:] or b"\0\0", "big")
             for c in range(lo, hi + 1):
-                out.setdefault(c, dst + (c - lo))
+                u = last + (c - lo)
+                if u > 0xFFFF:
+                    break  # increment overflows the final code unit: stop
+                out.setdefault(
+                    c,
+                    (prefix + u.to_bytes(2, "big")).decode(
+                        "utf-16-be", errors="replace"
+                    ),
+                )
     return out
 
 
@@ -922,11 +959,13 @@ class _Font:
     __slots__ = ("cid", "default_w", "widths", "decode")
 
     def __init__(self, cid: bool, default_w: int, widths: dict[int, int],
-                 decode: dict[int, int] | None):
+                 decode: dict[int, str] | None):
         self.cid = cid  # 2-byte CID show strings (Type0/Identity-H)
         self.default_w = default_w
         self.widths = widths
-        self.decode = decode  # charcode→codepoint overrides; None = identity
+        # charcode → decoded text (usually 1 char; "" = maps to nothing,
+        # multi-char = ligature expansion); None = identity Latin-1
+        self.decode = decode
 
 
 _DEFAULT_FONT = _Font(False, _DEFAULT_WIDTH, {}, None)
@@ -960,6 +999,10 @@ def _build_font(objs: dict[int, bytes], body: bytes) -> _Font:
         enc = re.search(rb"/Encoding\s*/([A-Za-z0-9-]+)", body)
         if enc and enc.group(1) not in (b"Identity-H",):
             raise PdfParseError("unsupported Type0 CMap encoding")
+        if enc is None and re.search(rb"/Encoding\s+\d+\s+\d+\s+R", body):
+            # an EMBEDDED CMap stream: decoding its codes as Identity-H would
+            # be silent mojibake (wrong code widths, wrong CIDs) — sentinel
+            raise PdfParseError("unsupported embedded CMap /Encoding")
         dm = _DESCFONT_RE.search(body)
         desc = objs.get(int(dm.group(1) or dm.group(2)), b"") if dm else b""
         dwm = _DW_RE.search(desc)
@@ -986,24 +1029,26 @@ def _build_font(objs: dict[int, bytes], body: bytes) -> _Font:
             if xs != 1.0:
                 widths = {c: w * xs for c, w in widths.items()}
                 default = default * xs
-    decode: dict[int, int] | None = None
+    decode: dict[int, str] | None = None
     if b"/WinAnsiEncoding" in body:
-        decode = dict(_CP1252_HIGH)
+        decode = dict(_CP1252_HIGH_S)
     elif b"/MacRomanEncoding" in body:
-        decode = dict(_MACROMAN_HIGH)
+        decode = dict(_MACROMAN_HIGH_S)
     # /Encoding dict with /Differences — direct or via reference
     enc_body = body
     em = re.search(rb"/Encoding\s+(\d+)\s+\d+\s+R", body)
     if em:
         enc_body = objs.get(int(em.group(1)), b"")
         if decode is None and b"/WinAnsiEncoding" in enc_body:
-            decode = dict(_CP1252_HIGH)
+            decode = dict(_CP1252_HIGH_S)
         elif decode is None and b"/MacRomanEncoding" in enc_body:
-            decode = dict(_MACROMAN_HIGH)
+            decode = dict(_MACROMAN_HIGH_S)
     dm = _DIFF_RE.search(enc_body)
     if dm:
         decode = dict(decode or {})
-        decode.update(_parse_differences(dm.group(1)))
+        decode.update(
+            (c, chr(cp)) for c, cp in _parse_differences(dm.group(1)).items()
+        )
     # /ToUnicode on SIMPLE fonts (r4 VERDICT wrong #1): subsetted Type1/TrueType
     # fonts with custom built-in encodings — standard pdftex/LaTeX output —
     # carry a /ToUnicode CMap and often no /Differences; decoding their bytes
@@ -1411,25 +1456,49 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None], *,
             y0, y1 = (ya, yb) if ya <= yb else (yb, ya)
             for code in codes:
                 gw = widths_get(code, default_w) * k
-                cp = dec.get(code, code) if dec is not None else code
-                xa = ta * xd + te
-                xb = ta * (xd + gw) + te
-                events.append(
-                    (cp, xa, y0, xb, y1) if xa <= xb else (cp, xb, y0, xa, y1)
-                )
+                s = dec.get(code) if dec is not None else None
+                if s is None or len(s) == 1:
+                    cp = code if s is None else ord(s)
+                    xa = ta * xd + te
+                    xb = ta * (xd + gw) + te
+                    events.append(
+                        (cp, xa, y0, xb, y1) if xa <= xb else (cp, xb, y0, xa, y1)
+                    )
+                else:
+                    # multi-char target (ligature expansion): one event per
+                    # char, glyph box split evenly along the advance; "" maps
+                    # to nothing (advance only)
+                    m = len(s)
+                    for j, ch in enumerate(s):
+                        xa = ta * (xd + gw * j / m) + te
+                        xb = ta * (xd + gw * (j + 1) / m) + te
+                        events.append(
+                            (ord(ch), xa, y0, xb, y1)
+                            if xa <= xb
+                            else (ord(ch), xb, y0, xa, y1)
+                        )
                 xd += gw + sp + (wsp if not is_cid and code == 32 else 0.0)
             return
         for code in codes:
             gw = widths_get(code, default_w) * k
             adv = gw + sp + (wsp if not is_cid and code == 32 else 0.0)
-            cp = dec.get(code, code) if dec is not None else code
-            p0 = _mapply(trm, xd, rise)
-            p1 = _mapply(trm, xd + gw, rise)
-            p2 = _mapply(trm, xd, rise + size)
-            p3 = _mapply(trm, xd + gw, rise + size)
-            xs = (p0[0], p1[0], p2[0], p3[0])
-            ys = (p0[1], p1[1], p2[1], p3[1])
-            events.append((cp, min(xs), min(ys), max(xs), max(ys)))
+            s = dec.get(code) if dec is not None else None
+            targets = (
+                ((code if s is None else ord(s), 0.0, gw),)
+                if s is None or len(s) == 1
+                else tuple(
+                    (ord(ch), gw * j / len(s), gw * (j + 1) / len(s))
+                    for j, ch in enumerate(s)
+                )
+            )
+            for cp, o0, o1 in targets:
+                p0 = _mapply(trm, xd + o0, rise)
+                p1 = _mapply(trm, xd + o1, rise)
+                p2 = _mapply(trm, xd + o0, rise + size)
+                p3 = _mapply(trm, xd + o1, rise + size)
+                xs = (p0[0], p1[0], p2[0], p3[0])
+                ys = (p0[1], p1[1], p2[1], p3[1])
+                events.append((cp, min(xs), min(ys), max(xs), max(ys)))
             xd += adv
 
     def set_line_matrix(m: tuple) -> None:

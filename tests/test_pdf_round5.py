@@ -9,6 +9,9 @@
   * /Rotate with a non-zero MediaBox origin
   * /DecodeParms array entries that are indirect references
   * inline-image EI false positives inside sample data
+  * ToUnicode UTF-16BE destinations: ligature multi-char expansion, surrogate
+    pairs, multi-unit bfrange increment, map-to-nothing, lone-surrogate
+    tolerance; embedded CMap /Encoding on Type0 sentinels
 
 All fixtures hand-built from the public PDF 1.x spec; the reference gets this
 surface from pdfium (main.py:161) — parity is behavioral.
@@ -944,3 +947,111 @@ def test_type3_fontmatrix_scales_glyph_space_widths():
     lines = [ln.split("\t") for ln in payload.split("\n")[1:]]
     assert [int(ln[0], 16) for ln in lines[:2]] == [ord("A"), ord("B")]
     assert float(lines[0][3]) == 3.0 and float(lines[1][3]) == 10.0
+
+
+# ---------------------------------------------------------------------------------
+# ToUnicode UTF-16BE destinations: ligature expansion, surrogate pairs,
+# multi-unit bfrange increment, map-to-nothing; embedded CMap /Encoding
+# sentinels (round-5 self-audit — pdfium decodes all of these via its own
+# CMap machinery, main.py:161)
+# ---------------------------------------------------------------------------------
+
+
+def _tounicode_objs(content: bytes, cmap_body: bytes) -> dict[int, bytes]:
+    objs = basic_objs(content)
+    objs[5] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /GHIJKL+Subset "
+               b"/ToUnicode 6 0 R >>")
+    objs[6] = (b"<< /Length " + str(len(cmap_body)).encode() + b" >>\nstream\n"
+               + cmap_body + b"\nendstream")
+    return objs
+
+
+def test_tounicode_ligature_expands_to_all_chars():
+    """A multi-unit bfchar destination — the fi/ffi ligature glyphs every
+    pdftex document carries — must contribute EVERY character, not just the
+    first UTF-16 unit (which silently turned 'office' into 'ofce')."""
+    cmap = b"1 beginbfchar\n<01> <006600660069>\nendbfchar"  # 01 -> 'ffi'
+    content = (b"BT /F1 12 Tf 72 720 Td "
+               b"(The o\x01ce requires a su\x01ciently long sentence for the gate.)"
+               b" Tj ET")
+    text = _extract_texts(build_pdf(_tounicode_objs(content, cmap)))[0]
+    assert "office" in text and "sufficiently" in text
+
+
+def test_tounicode_ligature_boxes_split_the_glyph_advance():
+    cmap = b"1 beginbfchar\n<01> <00660069>\nendbfchar"  # 01 -> 'fi'
+    content = b"BT /F1 12 Tf 72 720 Td (\x01) Tj ET"
+    objs = _tounicode_objs(content, cmap)
+    objs[5] = objs[5].replace(
+        b"/ToUnicode", b"/FirstChar 1 /Widths [600] /ToUnicode")
+    payload = pdf_to_pdf_chars_payloads(build_pdf(objs))[0]
+    lines = [ln.split("\t") for ln in payload.split("\n")[1:]]
+    assert [int(ln[0], 16) for ln in lines] == [ord("f"), ord("i")]
+    # ligature glyph: 600/1000 em at 12pt = 7.2pt, split 3.6 + 3.6, contiguous
+    (f_x0, f_x1), (i_x0, i_x1) = [(float(ln[1]), float(ln[3])) for ln in lines]
+    assert abs((f_x1 - f_x0) - 3.6) < 1e-6 and abs((i_x1 - i_x0) - 3.6) < 1e-6
+    assert abs(i_x0 - f_x1) < 1e-6
+
+
+def test_tounicode_surrogate_pair_yields_supplementary_char():
+    """<D83DDE00> is U+1F600 via UTF-16BE surrogates — one event with the real
+    codepoint, never a lone surrogate (which would be invalid UTF-8 at the
+    Arrow boundary)."""
+    cmap = b"1 beginbfchar\n<02> <D83DDE00>\nendbfchar"
+    content = (b"BT /F1 12 Tf 72 720 Td "
+               b"(A sentence long enough to clear the searchable gate \x02 here.)"
+               b" Tj ET")
+    text = _extract_texts(build_pdf(_tounicode_objs(content, cmap)))[0]
+    assert chr(0x1F600) in text and "\ud83d" not in text
+
+
+def test_tounicode_bfrange_increments_last_code_unit():
+    """Increment-form bfrange with a multi-unit destination advances the LAST
+    UTF-16 code unit: <10>..<12> -> 'ff' 'fg' 'fh'."""
+    cmap = b"1 beginbfrange\n<10> <12> <00660066>\nendbfrange"
+    content = (b"BT /F1 12 Tf 72 720 Td "
+               b"(Gate padding words before the probe codes \x10\x11\x12 end.)"
+               b" Tj ET")
+    text = _extract_texts(build_pdf(_tounicode_objs(content, cmap)))[0]
+    assert "fffgfh" in text
+
+
+def test_tounicode_empty_target_maps_to_nothing():
+    """<03> <> is a map-to-nothing (soft hyphen glyphs): no char event, but
+    the glyph still advances — neighbours keep their positions."""
+    cmap = b"1 beginbfchar\n<03> <>\nendbfchar"
+    content = (b"BT /F1 12 Tf 72 720 Td "
+               b"(A suitably long sentence about hy\x03phen suppression gates.)"
+               b" Tj ET")
+    text = _extract_texts(build_pdf(_tounicode_objs(content, cmap)))[0]
+    assert "hyphen" in text and "\x03" not in text
+
+
+def test_tounicode_malformed_utf16_never_emits_lone_surrogate():
+    """A destination that is a LONE surrogate must degrade to U+FFFD (pdfium
+    tolerance), not crash and not leak invalid UTF-8 downstream."""
+    cmap = b"1 beginbfchar\n<04> <D83D>\nendbfchar"
+    content = (b"BT /F1 12 Tf 72 720 Td "
+               b"(Another sentence long enough for the gate mark \x04 done.)"
+               b" Tj ET")
+    text = _extract_texts(build_pdf(_tounicode_objs(content, cmap)))[0]
+    assert "�" in text and "\ud83d" not in text
+    text.encode("utf-8")  # must be valid UTF-8 end-to-end
+
+
+def test_type0_embedded_cmap_encoding_sentinels_not_mojibake():
+    """A Type0 font whose /Encoding is an indirect ref to an EMBEDDED CMap
+    stream must sentinel the page — decoding its codes as Identity-H would be
+    silent mojibake (wrong code widths, wrong CIDs)."""
+    cmap = (b"/CIDInit /ProcSet findresource begin\n"
+            b"1 begincodespacerange <00> <ff> endcodespacerange\n"
+            b"1 begincidrange <00> <ff> 100 endcidrange\nend")
+    content = b"BT /F1 12 Tf 72 720 Td <0001> Tj ET"
+    objs = basic_objs(content)
+    objs[5] = (b"<< /Type /Font /Subtype /Type0 /BaseFont /Emb "
+               b"/Encoding 7 0 R /DescendantFonts [6 0 R] >>")
+    objs[6] = b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Emb /DW 600 >>"
+    objs[7] = (b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
+               + cmap + b"\nendstream")
+    (payload, n_ev, _n_img), = pdf_to_page_records(build_pdf(objs))
+    assert payload is None and n_ev == 0  # page-scoped sentinel, not garbage
