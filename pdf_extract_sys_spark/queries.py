@@ -1284,6 +1284,90 @@ FROM (
     FROM documents))
 """
 
+
+# exact-substring duplicate pairs (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better": cross-document EXACT substring overlap
+# is a distinct dedup modality from near-dup Jaccard — a doc quoting another
+# verbatim shares substrings without being a near-duplicate of it)
+_SUB_HOT_CAP = 64     # fingerprints present in more docs are boilerplate: drop
+_SUB_MIN_SHARED = 3   # pairs must share >= this many sampled fingerprints
+
+
+def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT-substring overlap: the 0-mod-p sampled char-5-gram
+    fingerprints (same hash-once pipeline as q_fingerprint_modp, ~1/32 of all
+    shingles) are exploded, fingerprints appearing in more than _SUB_HOT_CAP
+    docs are dropped as boilerplate (the ubiquitous-shingle analogue of the
+    LSH hot-band guard — a shingle shared by 10k docs would otherwise create
+    a quadratic bucket), and the survivors self-join on the fingerprint to
+    count shared sampled substrings per pair.
+
+    100 TB form: never all-pairs — the join key is the fingerprint hash, so
+    work is proportional to actual overlap; the hot cap bounds every bucket at
+    _SUB_HOT_CAP² pairs; the pair count partial-aggregates map-side. The
+    window count and the self-join hash-partition on the SAME key (h), so
+    AQE reuses one Exchange for both. The exploded table is persisted for the
+    duration of the self-join only and released after materialization (house
+    cache-lifecycle contract)."""
+    docs = _t(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(lower) - 4, F.lit(1))),
+        lambda i: lower.substr(i, F.lit(5)),
+    )
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        ).alias("hs"),
+    )
+    fp = hashed.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.filter("hs", lambda h: h % _FP_MOD == 0))
+        ).alias("h"),
+    )
+    cold = (
+        fp.withColumn("nd", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("nd") <= _SUB_HOT_CAP)
+        .persist()
+    )
+    a = cold.select(F.col("doc_id").alias("doc_a"), "h")
+    b = cold.select(F.col("doc_id").alias("doc_b"), "h")
+    out = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _SUB_MIN_SHARED)
+        .localCheckpoint(eager=True)
+    )
+    cold.unpersist()
+    return out
+
+
+SQL_SUBSTRING_PAIRS = f"""
+WITH fp AS (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id, unnest(list_filter(hs, h -> h % {_FP_MOD} = 0)) AS h
+    FROM (
+      SELECT doc_id,
+             list_transform(
+               range(1, GREATEST(LENGTH(text) - 4, 1) + 1),
+               i -> CAST('0x' || SUBSTR(md5(SUBSTR(LOWER(text), CAST(i AS INT), 5)), 1, 8) AS BIGINT)
+             ) AS hs
+      FROM documents))),
+cold AS (
+  SELECT * FROM (
+    SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS nd FROM fp)
+  WHERE nd <= {_SUB_HOT_CAP})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {_SUB_MIN_SHARED}
+"""
+
 _SIMHASH_BITS = 16
 
 
@@ -2445,6 +2529,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "q_fingerprint_modp": (q_fingerprint_modp, SQL_FINGERPRINT),
     "q_fingerprint_winnow": (q_fingerprint_winnow, SQL_WINNOW),
+    "q_substring_dup_pairs": (q_substring_dup_pairs, SQL_SUBSTRING_PAIRS),
     "q_simhash": (q_simhash, SQL_SIMHASH),
     "q_embedding_topk": (q_embedding_topk, SQL_TOPK),
     "q_ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH),
