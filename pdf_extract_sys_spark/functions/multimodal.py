@@ -4,13 +4,16 @@ The Spark-side plumbing is REAL and tested — schema, Arrow batch shape,
 `mapInPandas` signature, partition-size control — and so is container-format
 SNIFFING: magic-byte detection plus header-level dimension/audio parsing for
 PNG / JPEG / GIF / BMP / WAV / MP4 / WEBP / PDF, implemented from the public
-format specs with no codec libraries. Pixel/sample DECODE is REAL for the
-codec-free formats — uncompressed BI_RGB BMP pixel arrays and PCM WAV samples
-decode with struct+numpy alone and produce real statistical features
-(`real_decode=True`). For genuinely codec-bound formats (JPEG entropy coding,
-MP4/OGG/FLAC codecs) the decode step remains a clearly-marked stub: by default a
-deterministic fake featureizer; `strict=True` raises NotImplementedError exactly
-where a real decoder (PIL / torchaudio / pyav) would plug in.
+format specs with no codec libraries. Pixel/sample DECODE is REAL for
+uncompressed BI_RGB BMP pixel arrays, PCM WAV samples (struct+numpy), and —
+round 5 — BASELINE JPEG via the pure-numpy T.81 codec in `jpeg.py` (Huffman
+entropy decode, dequant, vectorized IDCT, chroma upsampling, YCbCr→RGB);
+these produce real statistical features (`real_decode=True`). For the
+remaining codec-bound formats (progressive JPEG, PNG zlib prediction
+pipelines beyond the PDF filters, MP4/OGG/FLAC codecs) the decode step stays
+a clearly-marked stub: by default a deterministic fake featureizer;
+`strict=True` raises NotImplementedError exactly where a real decoder
+(PIL / torchaudio / pyav) would plug in.
 
 Design for 100 TB: media bytes stay in a `binary` column and never leave the JVM
 except through Arrow batches into the vectorized featureizer; per-batch size is
@@ -30,6 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .jpeg import decode_baseline_jpeg
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -257,11 +262,12 @@ def extract_media_features(media: DataFrame, *, strict: bool = False) -> DataFra
 
     Container sniffing (format/kind/dims/audio params) is real and always runs;
     `decode_ok` is True iff the magic bytes identified a known container.
-    BMP pixel arrays and PCM WAV samples are REALLY decoded (struct+numpy) and
-    featureized from actual values (`real_decode=True`); other formats get the
-    deterministic stand-in. strict=True raises NotImplementedError at the
-    pixel/sample decode step for codec-bound formats — the marked seam where a
-    real codec stack plugs in.
+    BMP pixel arrays, PCM WAV samples, and BASELINE JPEG pixels are REALLY
+    decoded (struct/numpy; T.81 codec in jpeg.py) and featureized from actual
+    values (`real_decode=True`); other formats get the deterministic stand-in.
+    strict=True raises NotImplementedError at the pixel/sample decode step for
+    the remaining codec-bound formats — the marked seam where a real codec
+    stack plugs in.
     """
 
     def featureize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -281,6 +287,11 @@ def extract_media_features(media: DataFrame, *, strict: bool = False) -> DataFra
                     vals, dom = _decode_bmp(bytes(blob)), (0.0, 1.0)
                 elif fmt == "wav":
                     vals, dom = _decode_wav(bytes(blob)), (-1.0, 1.0)
+                elif fmt == "jpeg":
+                    px = decode_baseline_jpeg(bytes(blob))
+                    if px is not None:
+                        vals = px.astype(np.float32).ravel() / 255.0
+                    dom = (0.0, 1.0)
                 if vals is not None and len(vals):
                     feats.append(_real_feature(vals, *dom))
                     real.append(True)
@@ -289,8 +300,8 @@ def extract_media_features(media: DataFrame, *, strict: bool = False) -> DataFra
                         raise NotImplementedError(
                             f"real media decode for format={fmt!r} requires an "
                             "image/audio codec stack (PIL/pyav/torchaudio) not "
-                            "present in this environment (only BMP pixel arrays "
-                            "and PCM WAV are codec-free)"
+                            "present in this environment (BMP pixel arrays, PCM "
+                            "WAV, and baseline JPEG decode codec-free here)"
                         )
                     feats.append(fake_f)
                     real.append(False)

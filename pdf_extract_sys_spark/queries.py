@@ -1784,6 +1784,86 @@ FROM documents
 """
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-codec certification under the driver's oracle: per doc_id a
+    16x16 grayscale image of four FLAT 8x8 blocks (levels derived from the id)
+    is encoded to baseline JPEG and decoded back with the pure-numpy T.81
+    codec (functions/jpeg.py) INSIDE mapInArrow; the reported pixel stats come
+    from the DECODED array. Flat blocks have a DC-only spectrum and the flat
+    q=8 table divides 8*(v-128) exactly, so reconstruction is bit-exact and
+    the oracle can state the expected stats in closed form — any defect in
+    segment writing, Huffman tables, entropy coding, dequant, or the IDCT
+    shows up as a value-hash mismatch.
+
+    100 TB form: pure map over Arrow batches (the declared binary-codec
+    boundary, same seam as PDF decode) — no shuffle, no driver collect."""
+    import pyarrow as pa
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def codec(batches):
+        import numpy as np
+
+        from pdf_extract_sys_spark.functions.jpeg import (
+            decode_baseline_jpeg,
+            encode_baseline_jpeg,
+        )
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            ids = batch.column("doc_id").to_pylist()
+            means, mins, maxs, ws, hs = [], [], [], [], []
+            for d in ids:
+                v = [((d % 256) * _JPEG_MULT + k * _JPEG_STEP) % 256
+                     for k in range(4)]
+                img = np.empty((16, 16), np.uint8)
+                img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = v
+                px = decode_baseline_jpeg(encode_baseline_jpeg(img))
+                if px is None:
+                    raise ValueError("baseline JPEG roundtrip failed")
+                ws.append(px.shape[1])
+                hs.append(px.shape[0])
+                means.append(round(float(px.mean()), 4))
+                mins.append(int(px.min()))
+                maxs.append(int(px.max()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pa.array(ws, pa.int32()),
+                    pa.array(hs, pa.int32()),
+                    pa.array(means, pa.float64()),
+                    pa.array(mins, pa.int32()),
+                    pa.array(maxs, pa.int32()),
+                ],
+                names=["doc_id", "width", "height", "px_mean", "px_min", "px_max"],
+            )
+
+    return docs.mapInArrow(
+        codec,
+        "doc_id long, width int, height int, px_mean double, px_min int, px_max int",
+    )
+
+
+_JPEG_MULT = 37
+_JPEG_STEP = 59
+
+# the oracle predicts the DECODED stats arithmetically — valid only because
+# flat blocks under the flat q=8 table reconstruct exactly (see q_jpeg_decode)
+_JPEG_VS = [
+    f"(((doc_id % 256) * {_JPEG_MULT} + {k * _JPEG_STEP}) % 256)" for k in range(4)
+]
+SQL_JPEG_DECODE = f"""
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(16 AS INT) AS height,
+       ROUND(({" + ".join(_JPEG_VS)}) / 4.0, 4) AS px_mean,
+       CAST(LEAST({", ".join(_JPEG_VS)}) AS INT) AS px_min,
+       CAST(GREATEST({", ".join(_JPEG_VS)}) AS INT) AS px_max
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------------
 # flagship: the REAL extraction pipeline, oracled in SQL
 # ---------------------------------------------------------------------------------
@@ -2536,6 +2616,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_ann_ivf_flat": (q_ann_ivf_flat, SQL_ANN_IVF),
     "q_dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMB),
     "q_media_meta": (q_media_meta, SQL_MEDIA_META),
+    "q_jpeg_decode": (q_jpeg_decode, SQL_JPEG_DECODE),
     "q_extract_sentences": (q_extract_sentences, SQL_EXTRACT),
     "q_extract_pdf_bytes": (q_extract_pdf_bytes, SQL_EXTRACT),
     "q_needs_ocr_worklist": (q_needs_ocr_worklist, SQL_NEEDS_OCR),
