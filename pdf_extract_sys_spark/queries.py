@@ -722,6 +722,115 @@ FROM t GROUP BY band
 """
 
 
+# DSIR-style data selection (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): hashed-bigram bucket distributions for
+# a TARGET split vs the RAW corpus; per-doc importance = how much its bigram
+# mass leans toward the target distribution.
+_DSIR_BUCKETS = 1024
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-based data selection: estimate hashed-bigram distributions
+    for the TARGET split (docs passing the length gate — the curated-subset
+    stand-in) and the RAW corpus, derive a per-bucket lean, and score every
+    doc by the mean lean of its bigrams. DSIR quantizes here to the SIGN of
+    the smoothed log-likelihood ratio (+1 target-leaning / -1 raw-leaning) so
+    the score is exact integer arithmetic in both engines — the smoothed
+    comparison (2c_t+1)(2N_all+B) > (2c_all+1)(2N_t+B) is the Laplace
+    log-ratio sign without transcendentals; swapping the ±1 for the
+    full-precision ln ratio is a one-line change.
+
+    100 TB form: one exploded pass builds the bucket table (partial-agg
+    groupBy over _DSIR_BUCKETS keys), totals derive from the TINY table (no
+    second corpus pass for scalars), and the weight table — at most
+    _DSIR_BUCKETS rows — broadcasts back over the corpus for the scoring
+    pass: two corpus scans total, no wide shuffle, no collect. Cross products
+    stay in int64 up to ~1.5e9 bigrams per side; past that, promote the
+    comparison to log-space doubles."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    ex = (
+        docs.select(
+            "doc_id",
+            ((n >= 20) & (n <= 2000)).alias("is_target"),
+            F.explode(F.filter(bigrams, lambda x: x.isNotNull())).alias("b"),
+        )
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5(F.col("b")), 1, 8), 16, 10).cast("long")
+            % _DSIR_BUCKETS,
+        )
+        .drop("b")
+    )
+    tbl = ex.groupBy("h").agg(
+        F.count("*").alias("c_all"),
+        F.sum(F.col("is_target").cast("long")).alias("c_t"),
+    )
+    totals = tbl.agg(
+        F.sum("c_all").alias("n_all"), F.sum("c_t").alias("n_t")
+    )
+    lean = (
+        (2 * F.col("c_t") + 1) * (2 * F.col("n_all") + _DSIR_BUCKETS)
+        > (2 * F.col("c_all") + 1) * (2 * F.col("n_t") + _DSIR_BUCKETS)
+    )
+    w = tbl.crossJoin(F.broadcast(totals)).select(
+        "h", F.when(lean, F.lit(1)).otherwise(F.lit(-1)).alias("w")
+    )
+    net = F.sum("w")
+    return (
+        ex.join(F.broadcast(w), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(net / F.count("*"), 4).alias("target_lean"),
+            (net > 0).alias("selected"),
+        )
+    )
+
+
+SQL_DSIR = f"""
+WITH base AS (
+  SELECT doc_id,
+         LEN(string_split(LOWER(text), ' ')) BETWEEN 20 AND 2000 AS is_target,
+         string_split(LOWER(text), ' ') AS ws
+  FROM documents),
+exh AS (
+  SELECT doc_id, is_target,
+         CAST('0x' || SUBSTR(md5(b), 1, 8) AS BIGINT) % {_DSIR_BUCKETS} AS h
+  FROM (
+    SELECT doc_id, is_target,
+           unnest(list_filter(
+             list_transform(range(1, GREATEST(LEN(ws) - 1, 1) + 1),
+                            i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]),
+             x -> x IS NOT NULL)) AS b
+    FROM base)),
+tbl AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS c_all,
+         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+  FROM exh GROUP BY h),
+tot AS (SELECT CAST(SUM(c_all) AS BIGINT) AS n_all,
+               CAST(SUM(c_t) AS BIGINT) AS n_t FROM tbl),
+w AS (
+  SELECT h, CASE WHEN (2*c_t+1)*(2*n_all+{_DSIR_BUCKETS})
+                    > (2*c_all+1)*(2*n_t+{_DSIR_BUCKETS})
+                 THEN 1 ELSE -1 END AS w
+  FROM tbl, tot)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT)                          AS n_bigrams,
+       ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(*), 4)       AS target_lean,
+       CAST(SUM(w) AS BIGINT) > 0                        AS selected
+FROM exh JOIN w USING (h)
+GROUP BY doc_id
+"""
+
+
 SQL_PACK = f"""
 WITH t AS (
   SELECT doc_id,
@@ -1289,17 +1398,21 @@ FROM (
 # Data Makes Language Models Better": cross-document EXACT substring overlap
 # is a distinct dedup modality from near-dup Jaccard — a doc quoting another
 # verbatim shares substrings without being a near-duplicate of it)
+_SUB_GRAM = 8         # word-level shingle width (long enough to be discriminative)
+_SUB_MOD = 8          # 0-mod-p sampling: ~1/8 of shingle positions fingerprint
 _SUB_HOT_CAP = 64     # fingerprints present in more docs are boilerplate: drop
 _SUB_MIN_SHARED = 3   # pairs must share >= this many sampled fingerprints
 
 
 def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document EXACT-substring overlap: the 0-mod-p sampled char-5-gram
-    fingerprints (same hash-once pipeline as q_fingerprint_modp, ~1/32 of all
-    shingles) are exploded, fingerprints appearing in more than _SUB_HOT_CAP
-    docs are dropped as boilerplate (the ubiquitous-shingle analogue of the
-    LSH hot-band guard — a shingle shared by 10k docs would otherwise create
-    a quadratic bucket), and the survivors self-join on the fingerprint to
+    """Cross-document EXACT-substring overlap: word-8-gram shingles (the
+    Lee-et-al substring unit scaled to word granularity — char-5-grams carry
+    too little entropy to discriminate on a shared-vocabulary corpus) are
+    hashed once JVM-side, 0-mod-p sampled (~1/_SUB_MOD of positions),
+    exploded, fingerprints appearing in more than _SUB_HOT_CAP docs are
+    dropped as boilerplate (the ubiquitous-shingle analogue of the LSH
+    hot-band guard — a shingle shared by 10k docs would otherwise create a
+    quadratic bucket), and the survivors self-join on the fingerprint to
     count shared sampled substrings per pair.
 
     100 TB form: never all-pairs — the join key is the fingerprint hash, so
@@ -1310,21 +1423,21 @@ def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     duration of the self-join only and released after materialization (house
     cache-lifecycle contract)."""
     docs = _t(spark, sf_dir, "documents")
-    lower = F.lower(F.col("text"))
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(lower) - 4, F.lit(1))),
-        lambda i: lower.substr(i, F.lit(5)),
+    ws = F.split(F.lower(F.col("text")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - (_SUB_GRAM - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(ws, i, _SUB_GRAM), " "),
     )
     hashed = docs.select(
         "doc_id",
         F.transform(
-            shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+            grams, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
         ).alias("hs"),
     )
     fp = hashed.select(
         "doc_id",
         F.explode(
-            F.array_distinct(F.filter("hs", lambda h: h % _FP_MOD == 0))
+            F.array_distinct(F.filter("hs", lambda h: h % _SUB_MOD == 0))
         ).alias("h"),
     )
     cold = (
@@ -1349,14 +1462,15 @@ def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SUBSTRING_PAIRS = f"""
 WITH fp AS (
   SELECT DISTINCT doc_id, h FROM (
-    SELECT doc_id, unnest(list_filter(hs, h -> h % {_FP_MOD} = 0)) AS h
+    SELECT doc_id, unnest(list_filter(hs, h -> h % {_SUB_MOD} = 0)) AS h
     FROM (
       SELECT doc_id,
              list_transform(
-               range(1, GREATEST(LENGTH(text) - 4, 1) + 1),
-               i -> CAST('0x' || SUBSTR(md5(SUBSTR(LOWER(text), CAST(i AS INT), 5)), 1, 8) AS BIGINT)
+               range(1, GREATEST(LEN(ws) - {_SUB_GRAM - 1}, 1) + 1),
+               i -> CAST('0x' || SUBSTR(md5(array_to_string(
+                      ws[CAST(i AS INT) : CAST(i AS INT) + {_SUB_GRAM - 1}], ' ')), 1, 8) AS BIGINT)
              ) AS hs
-      FROM documents))),
+      FROM (SELECT doc_id, string_split(LOWER(text), ' ') AS ws FROM documents)))),
 cold AS (
   SELECT * FROM (
     SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS nd FROM fp)
@@ -2602,6 +2716,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_pii_redact": (q_pii_redact, SQL_PII),
     "q_pack_sequences": (q_pack_sequences, SQL_PACK),
     "q_stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
+    "q_dsir_select": (q_dsir_select, SQL_DSIR),
     "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "q_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
     "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_LSH_PAIRS),
