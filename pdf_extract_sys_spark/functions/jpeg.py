@@ -137,7 +137,7 @@ def decode_baseline_jpeg(b: bytes) -> np.ndarray | None:
     CMYK/12-bit) data — never an exception, never garbage pixels."""
     try:
         return _decode(b)
-    except (JpegError, ValueError, IndexError, KeyError, struct.error):
+    except (JpegError, ValueError, IndexError, KeyError, struct.error, MemoryError):
         return None
 
 
@@ -196,6 +196,12 @@ def _decode(b: bytes) -> np.ndarray | None:
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8 or not (1 <= nc <= 3) or h == 0 or w == 0:
                 return None  # 12-bit or CMYK: out of scope
+            if h * w > 16_000_000:
+                # coefficient planes are allocated from these header fields
+                # BEFORE any entropy data validates them — a corrupt SOF
+                # declaring 65535x65535 would attempt a ~32 GiB allocation.
+                # 16 MP bounds the plane arrays to ~128 MB per component.
+                raise JpegError("declared dimensions exceed the 16 MP cap")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]

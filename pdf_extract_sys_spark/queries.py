@@ -750,10 +750,13 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
     n = F.size(toks)
+    # try_element_at: under Spark 4's default ANSI mode a plain element_at
+    # past the array end THROWS, so a single-word doc would abort the job
+    # (the DuckDB oracle's ws[i+1] yields NULL); the NULL bigram is filtered
     bigrams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
         lambda i: F.concat(
-            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            F.try_element_at(toks, i), F.lit(" "), F.try_element_at(toks, i + 1)
         ),
     )
     ex = (
@@ -1122,12 +1125,14 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
+    # try_element_at: ANSI-mode element_at past the array end throws — a
+    # 1-2-word doc must yield NULL trigrams (filtered below), not a job abort
     tg_raw = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
         lambda i: F.concat(
-            F.element_at(toks, i), F.lit(" "),
-            F.element_at(toks, i + 1), F.lit(" "),
-            F.element_at(toks, i + 2),
+            F.try_element_at(toks, i), F.lit(" "),
+            F.try_element_at(toks, i + 1), F.lit(" "),
+            F.try_element_at(toks, i + 2),
         ),
     )
     tg = docs.select(

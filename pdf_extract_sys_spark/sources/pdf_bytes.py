@@ -805,13 +805,20 @@ def _glyph_to_cp(name: bytes) -> int | None:
         return name[0]
     if name in _GLYPH_NAMES:
         return _GLYPH_NAMES[name]
+    cp = None
     m = re.fullmatch(rb"uni([0-9A-Fa-f]{4})", name)
     if m:
-        return int(m.group(1), 16)
-    m = re.fullmatch(rb"g?(\d{1,5})", name)  # ordinal fallback (subset fonts)
-    if m:
-        return int(m.group(1))
-    return None
+        cp = int(m.group(1), 16)
+    else:
+        m = re.fullmatch(rb"g?(\d{1,5})", name)  # ordinal fallback (subset fonts)
+        if m:
+            cp = int(m.group(1))
+    # a /uniD800-style surrogate (or an out-of-range ordinal) is not a valid
+    # scalar value: chr()/utf-32 downstream would raise, escaping the
+    # PdfParseError sentinel machinery — drop the mapping instead
+    if cp is not None and (0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF):
+        return None
+    return cp
 
 
 # WinAnsi (CP1252) differs from Latin-1 only in 0x80-0x9F; undefined CP1252
@@ -888,8 +895,13 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
             lo = int(pm.group(1), 16)
             for i, d in enumerate(re.findall(rb"<([0-9A-Fa-f]*)>", pm.group(3))):
                 out[lo + i] = _utf16_target(d)
+        # blank out the array-form bodies before the increment-form pass: the
+        # destination list <d0> <d1> <d2> would otherwise ALSO match the
+        # <lo> <hi> <dst> pattern and install spurious mappings; the \x00
+        # separator keeps adjacent entries from fusing into a false triple
+        stripped = re.sub(rb"\[.*?\]", b"\x00", m.group(1), flags=re.S)
         for pm in re.finditer(
-            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", stripped
         ):
             lo, hi = int(pm.group(1), 16), int(pm.group(2), 16)
             if hi - lo > 0x10000:

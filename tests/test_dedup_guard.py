@@ -84,3 +84,49 @@ def test_hot_band_guard_matches_oracle(spark, degenerate_dir):
     assert sorted((r[0], r[1]) for r in orows) == sorted(
         (r["doc_a"], r["doc_b"]) for r in srows
     )
+
+
+# ---------------------------------------------------------------------------------
+# round-5 review regressions: degenerate documents must not abort ANSI-mode jobs
+# ---------------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def degenerate_short_dir(tmp_path_factory):
+    """Corpus containing single-word / empty / two-word docs — n-gram windows
+    past the array end must yield NULL (filtered), not an ANSI
+    INVALID_ARRAY_INDEX abort."""
+    d = tmp_path_factory.mktemp("short_sf")
+    texts = ["word", "", "two words",
+             "a perfectly ordinary sentence with enough words to gate " * 4]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["short"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, d / "documents.parquet")
+    return str(d)
+
+
+def test_dsir_single_word_docs_do_not_abort(spark, degenerate_short_dir):
+    from pdf_extract_sys_spark.queries import SQL_DSIR, q_dsir_select
+
+    rows = {r["doc_id"]: r for r in q_dsir_select(spark, degenerate_short_dir).collect()}
+    # 1-word and empty docs have no bigram → absent; 2-word doc has exactly one
+    assert set(rows) == {2, 3} and rows[2]["n_bigrams"] == 1
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{degenerate_short_dir}/documents.parquet'"
+    )
+    oracle = {r[0]: r for r in con.execute(SQL_DSIR).fetchall()}
+    assert set(oracle) == {2, 3}
+
+
+def test_ngram_jaccard_short_docs_do_not_abort(spark, degenerate_short_dir):
+    from pdf_extract_sys_spark.queries import q_ngram_jaccard_pairs
+
+    q_ngram_jaccard_pairs(spark, degenerate_short_dir).collect()  # must not raise

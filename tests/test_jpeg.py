@@ -115,3 +115,12 @@ def test_decoder_rejects_mismatched_dht_counts():
     i = blob.find(b"\xff\xc4")
     blob[i + 5] = 250  # corrupt a BITS count beyond the value bytes
     assert decode_baseline_jpeg(bytes(blob)) is None
+
+
+def test_adversarial_sof_dimensions_capped():
+    """Review regression: a corrupt SOF declaring 65535x65535 must return None
+    via the 16 MP cap, not attempt a ~32 GiB coefficient allocation."""
+    blob = bytearray(encode_baseline_jpeg(_flat_blocks([5, 6, 7, 8])))
+    i = blob.find(b"\xff\xc0")
+    blob[i + 5 : i + 9] = b"\xff\xff\xff\xff"  # H = W = 65535
+    assert decode_baseline_jpeg(bytes(blob)) is None

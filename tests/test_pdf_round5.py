@@ -1055,3 +1055,36 @@ def test_type0_embedded_cmap_encoding_sentinels_not_mojibake():
                + cmap + b"\nendstream")
     (payload, n_ev, _n_img), = pdf_to_page_records(build_pdf(objs))
     assert payload is None and n_ev == 0  # page-scoped sentinel, not garbage
+
+
+def test_bfrange_array_form_does_not_leak_increment_mappings():
+    """Review regression: the destination list of an array-form bfrange
+    (<d0> <d1> <d2>) must not ALSO match the <lo> <hi> <dst> increment
+    pattern — that installed spurious mappings for charcodes the CMap never
+    defined (0x41 -> 'C')."""
+    from pdf_extract_sys_spark.sources.pdf_bytes import _parse_tounicode
+
+    out = _parse_tounicode(
+        b"1 beginbfrange\n<01> <03> [<0041> <0042> <0043>]\nendbfrange"
+    )
+    assert out == {1: "A", 2: "B", 3: "C"}
+    # adjacent array-form entries must not fuse into a false triple either
+    out2 = _parse_tounicode(
+        b"2 beginbfrange\n<01> <02> [<0041> <0042>]\n"
+        b"<05> <06> [<0058> <0059>]\nendbfrange"
+    )
+    assert out2 == {1: "A", 2: "B", 5: "X", 6: "Y"}
+
+
+def test_differences_surrogate_glyph_name_is_dropped_not_crash():
+    """Review regression: /Differences [65 /uniD800] must not push a lone
+    surrogate into char events (utf-32 span decode would raise outside the
+    sentinel machinery) — the mapping is dropped, the byte decodes as itself."""
+    content = (b"BT /F1 12 Tf 72 720 Td "
+               b"(A sentence long enough to pass the searchable gate fine.) Tj ET")
+    objs = basic_objs(content)
+    objs[5] = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier "
+               b"/Encoding << /Differences [65 /uniD800] >> >>")
+    text = _extract_texts(build_pdf(objs))[0]
+    assert text.startswith("A sentence") and "\ud800" not in text
+    text.encode("utf-8")
