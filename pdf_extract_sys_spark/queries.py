@@ -740,13 +740,15 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-ratio sign without transcendentals; swapping the ±1 for the
     full-precision ln ratio is a one-line change.
 
-    100 TB form: one exploded pass builds the bucket table (partial-agg
-    groupBy over _DSIR_BUCKETS keys), totals derive from the TINY table (no
-    second corpus pass for scalars), and the weight table — at most
-    _DSIR_BUCKETS rows — broadcasts back over the corpus for the scoring
-    pass: two corpus scans total, no wide shuffle, no collect. Cross products
-    stay in int64 up to ~1.5e9 bigrams per side; past that, promote the
-    comparison to log-space doubles."""
+    100 TB form: ONE corpus scan explodes + hashes the bigrams and partial-aggs
+    them straight down to per-(doc, bucket) counts — at most _DSIR_BUCKETS
+    rows per doc, typically far fewer — which is the only thing persisted.
+    The bucket table is a second-level agg of that small table (no second
+    corpus pass), totals derive from the TINY table, and the weight table —
+    at most _DSIR_BUCKETS rows — broadcasts back over the per-doc counts for
+    scoring. The cache is released once the result is materialized (house
+    cache-lifecycle contract). Cross products stay in int64 up to ~1.5e9
+    bigrams per side; past that, promote the comparison to log-space doubles."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
     n = F.size(toks)
@@ -759,7 +761,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_element_at(toks, i), F.lit(" "), F.try_element_at(toks, i + 1)
         ),
     )
-    ex = (
+    dh = (
         docs.select(
             "doc_id",
             ((n >= 20) & (n <= 2000)).alias("is_target"),
@@ -770,11 +772,13 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5(F.col("b")), 1, 8), 16, 10).cast("long")
             % _DSIR_BUCKETS,
         )
-        .drop("b")
+        .groupBy("doc_id", "is_target", "h")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
     )
-    tbl = ex.groupBy("h").agg(
-        F.count("*").alias("c_all"),
-        F.sum(F.col("is_target").cast("long")).alias("c_t"),
+    tbl = dh.groupBy("h").agg(
+        F.sum("cnt").alias("c_all"),
+        F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0)).alias("c_t"),
     )
     totals = tbl.agg(
         F.sum("c_all").alias("n_all"), F.sum("c_t").alias("n_t")
@@ -786,16 +790,19 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = tbl.crossJoin(F.broadcast(totals)).select(
         "h", F.when(lean, F.lit(1)).otherwise(F.lit(-1)).alias("w")
     )
-    net = F.sum("w")
-    return (
-        ex.join(F.broadcast(w), "h")
+    net = F.sum(F.col("w") * F.col("cnt"))
+    out = (
+        dh.join(F.broadcast(w), "h")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(net / F.count("*"), 4).alias("target_lean"),
+            F.sum("cnt").alias("n_bigrams"),
+            F.round(net / F.sum("cnt"), 4).alias("target_lean"),
             (net > 0).alias("selected"),
         )
+        .localCheckpoint(eager=True)
     )
+    dh.unpersist()
+    return out
 
 
 SQL_DSIR = f"""
