@@ -2590,6 +2590,61 @@ WHERE LENGTH(text) >= {_MIN_CHARS} AND doc_id % 3 = 0
 """
 
 
+def q_media_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved FIGURE references from real PDF bytes: every image the
+    interpreter sees painted (XObject Do / inline image) becomes a
+    kind='media' span with media_ref='img:<page>:<paint_seq>:<name>', placed
+    in reading order after its page's text — the north rule's 'text runs +
+    media_refs for embedded images/figures' contract, now under the driver's
+    oracle. `offs` pins the reading-ORDER positions, not just presence: each
+    doc's page 0 shows its text (one sentence span, out_offset 0), so the
+    image pages' work-list + figure spans land at deterministic output
+    offsets (needs_ocr at 1 / figure at 2; second image page at 3 / 4)."""
+    from .pipeline import extract_corpus
+    from .sources.pdf_bytes import pdf_binary_to_corpus
+
+    corpus = pdf_binary_to_corpus(
+        documents_to_worklist_pdf_binary(spark, sf_dir)
+    ).persist()
+    ex = (
+        extract_corpus(corpus)
+        .select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == F.lit("media"))
+    )
+    out = (
+        ex.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_figures"),
+            F.array_join(F.array_sort(F.collect_list("s.media_ref")), ",").alias(
+                "figs"
+            ),
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("s.offset").cast("string"))), ","
+            ).alias("offs"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_figures",
+            "figs",
+            "offs",
+        )
+        .localCheckpoint(eager=True)
+    )
+    corpus.unpersist()
+    return out
+
+
+SQL_MEDIA_FIGURES = f"""
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_figures,
+       CASE WHEN doc_id % 9 = 0 THEN 'img:1:0:Im1,img:2:0:Im1'
+            ELSE 'img:1:0:Im1' END AS figs,
+       CASE WHEN doc_id % 9 = 0 THEN '2,4' ELSE '2' END AS offs
+FROM documents
+WHERE LENGTH(text) >= {_MIN_CHARS} AND doc_id % 3 = 0
+"""
+
+
 def q_extract_pdf_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL bytes→spans chain under the driver's oracle (r3 VERDICT #9):
     real PDF FILES (binary column, Catalyst-serialized from `documents`) →
@@ -2747,6 +2802,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_extract_sentences": (q_extract_sentences, SQL_EXTRACT),
     "q_extract_pdf_bytes": (q_extract_pdf_bytes, SQL_EXTRACT),
     "q_needs_ocr_worklist": (q_needs_ocr_worklist, SQL_NEEDS_OCR),
+    "q_media_figures": (q_media_figures, SQL_MEDIA_FIGURES),
     "q_extract_html": (q_extract_html, SQL_EXTRACT_HTML),
     "q_extract_dedup": (q_extract_dedup, SQL_EXTRACT_DEDUP),
 }

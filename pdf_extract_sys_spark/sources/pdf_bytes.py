@@ -1406,16 +1406,20 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None], *,
                       xobjects: dict[bytes, bytes | None] | None = None,
                       ctm0: tuple = _IDENTITY, depth: int = 0):
     """Execute the text-positioning subset of the content stream. Returns
-    (events, n_image_ops): events = (codepoint, x0, y0, x1, y1) per shown char
-    in show order (PDF points, bottom-left origin — the FIXTURES.md pdf_chars
-    contract); n_image_ops counts XObject paints (Do) and inline images — the
-    signal the OCR-routing marker uses for image-only pages. A Do naming a
-    /Subtype /Form XObject EXECUTES the form's content stream inline (its own
-    /Resources when present, else the caller's; the form /Matrix concatenated
-    onto the CTM; nesting bounded at _FORM_MAX_DEPTH) — text living inside
-    form XObjects (stamps, letterheads, LaTeX pgf output) is extracted, not
-    dropped, matching pdfium. Only non-form (image) paints and unresolvable
-    names count as image ops.
+    (events, n_image_ops, images): events = (codepoint, x0, y0, x1, y1) per
+    shown char in show order (PDF points, bottom-left origin — the FIXTURES.md
+    pdf_chars contract); n_image_ops counts XObject paints (Do) and inline
+    images — the signal the OCR-routing marker uses for image-only pages;
+    images = the painted image NAMES in paint order ('Im1' for /Im1 Do,
+    'inline' for BI…EI, 'unresolved' for a Do whose operand isn't a name)
+    — the interleaved-figure references the corpus model's media spans carry
+    (north rule: text runs + media_refs for embedded images, in order). A Do
+    naming a /Subtype /Form XObject EXECUTES the form's content stream inline
+    (its own /Resources when present, else the caller's; the form /Matrix
+    concatenated onto the CTM; nesting bounded at _FORM_MAX_DEPTH) — text
+    living inside form XObjects (stamps, letterheads, LaTeX pgf output) is
+    extracted, not dropped, matching pdfium. Only non-form (image) paints and
+    unresolvable names count as image ops.
 
     Positioning is the FULL matrix model (round 4; previously translation +
     uniform scale only): the text matrix Tm and line matrix Tlm are real 2x3
@@ -1440,6 +1444,7 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None], *,
     stack: list = []
     events: list[tuple[int, float, float, float, float]] = []
     n_image_ops = 0
+    images: list[str] = []
     in_array = False
     array_items: list = []
 
@@ -1525,6 +1530,7 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None], *,
     for tok in _tokenize(content):
         if tok is _IMG_TOKEN:
             n_image_ops += 1
+            images.append("inline")
             continue
         if tok == "[":
             in_array, array_items = True, []
@@ -1653,21 +1659,28 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None], *,
                     )
                     sub_fonts = _fonts(objs or {}, body) or fonts
                     sub_x = _xobjects(objs or {}, body) or xobjects
-                    sub_ev, sub_img = _page_char_events(
+                    sub_ev, sub_img, sub_images = _page_char_events(
                         sub_content, sub_fonts, objs=objs, xobjects=sub_x,
                         ctm0=_mmul(fmat, ctm), depth=depth + 1,
                     )
                     events.extend(sub_ev)
                     n_image_ops += sub_img
+                    images.extend(sub_images)
                 else:
                     # image XObject (or unresolvable name) — needs-OCR signal
+                    # + an interleaved figure reference in paint order
                     n_image_ops += 1
+                    images.append(
+                        name.decode("latin-1").lstrip("/")
+                        if name is not None
+                        else "unresolved"
+                    )
                 stack.clear()
             else:
                 stack.clear()  # untracked operator consumes its operands
         except (IndexError, TypeError, ValueError) as e:
             raise PdfParseError(f"malformed content stream at {op!r}") from e
-    return events, n_image_ops
+    return events, n_image_ops, images
 
 
 # ---------------------------------------------------------------------------------
@@ -2065,12 +2078,16 @@ def _page_order(objs: dict[int, bytes]) -> list[int] | None:
     return order or None
 
 
-def pdf_to_page_records(data: bytes) -> list[tuple[str | None, int, int]]:
-    """PDF bytes → one (payload, n_text_events, n_image_ops) record per page,
-    in document page order (the /Pages tree's /Kids order; object-number order
-    only when no tree resolves). payload is the FIXTURES.md `pdf_chars` string;
-    n_image_ops counts XObject paints + inline images (the needs-OCR signal for
-    pages that draw images but show no text).
+def pdf_to_page_records(
+    data: bytes,
+) -> list[tuple[str | None, int, int, tuple[str, ...]]]:
+    """PDF bytes → one (payload, n_text_events, n_image_ops, images) record
+    per page, in document page order (the /Pages tree's /Kids order;
+    object-number order only when no tree resolves). payload is the
+    FIXTURES.md `pdf_chars` string; n_image_ops counts XObject paints + inline
+    images (the needs-OCR signal for pages that draw images but show no text);
+    images = the painted image names in paint order — the figure references
+    the corpus model interleaves as media spans.
 
     Error granularity matches the reference (main.py:361-372, 555-566): once
     object discovery succeeds, a page whose own content fails to decode yields
@@ -2106,7 +2123,7 @@ def pdf_to_page_records(data: bytes) -> list[tuple[str | None, int, int]]:
     if not pages:
         raise PdfParseError("no /Type /Page objects")
 
-    records: list[tuple[str | None, int, int]] = []
+    records: list[tuple[str | None, int, int, tuple[str, ...]]] = []
     for _num, body in pages:
         try:
             m = _MEDIABOX_RE.search(body)
@@ -2133,11 +2150,11 @@ def pdf_to_page_records(data: bytes) -> list[tuple[str | None, int, int]]:
                 if not cm:
                     if b"/Contents" in body:
                         raise PdfParseError("unresolvable /Contents entry")
-                    records.append((f"PAGE\t{pw:g}\t{ph:g}", 0, 0))
+                    records.append((f"PAGE\t{pw:g}\t{ph:g}", 0, 0, ()))
                     continue
                 content = _stream_data(objs.get(int(cm.group(1)), b""), objs)
             fonts = _fonts(objs, body)
-            events, n_image_ops = _page_char_events(
+            events, n_image_ops, images = _page_char_events(
                 content, fonts, objs=objs, xobjects=_xobjects(objs, body)
             )
             if rot:
@@ -2147,19 +2164,19 @@ def pdf_to_page_records(data: bytes) -> list[tuple[str | None, int, int]]:
             # work — this loop runs once per char across the whole corpus
             recs = [f"PAGE\t{pw:g}\t{ph:g}"]
             recs += ["%08x\t%g\t%g\t%g\t%g" % ev for ev in events]
-            records.append(("\n".join(recs), len(events), n_image_ops))
+            records.append(("\n".join(recs), len(events), n_image_ops, tuple(images)))
         except PdfParseError:
             # per-page isolation (r4 VERDICT #3): object discovery succeeded,
             # so this failure is scoped to ONE page's content — emit a page
             # error record, keep extracting the rest (main.py:361-372)
-            records.append((None, 0, 0))
+            records.append((None, 0, 0, ()))
     return records
 
 
 def pdf_to_pdf_chars_payloads(data: bytes) -> list[str]:
     """PDF bytes → one FIXTURES.md `pdf_chars` payload string per page (see
     pdf_to_page_records for the richer per-page form)."""
-    return [payload for payload, _n_ev, _n_img in pdf_to_page_records(data)]
+    return [rec[0] for rec in pdf_to_page_records(data)]
 
 
 def pdf_binary_to_corpus(df):
@@ -2169,13 +2186,20 @@ def pdf_binary_to_corpus(df):
     kind='needs_ocr' span with media_ref='page:<idx>' — the raster/OCR
     boundary made visible in the data (r3 VERDICT #6): a real OCR stage's
     work-list is `WHERE kind = 'needs_ocr'`, instead of image-only pages
-    silently yielding zero spans. A page whose content failed to decode (page
-    record payload None) becomes a kind='page_error' span — the extraction
-    kernels emit the reference's page-scoped '[Error processing page N]' span
-    for it while the document's OTHER pages extract normally (r4 VERDICT #3,
-    main.py:361-372 granularity). Only document-LEVEL failures degrade to one
-    invalid span (text NULL) which the pipeline turns into the standard doc
-    error sentinel. Arrow-batched mapInPandas; zero shuffles."""
+    silently yielding zero spans. EVERY painted image additionally emits a
+    kind='media' span with media_ref='img:<page>:<paint_seq>:<name>', placed
+    AFTER the page's primary span in the array — the extraction pipeline's
+    (in_off, pos, seq) reading order then interleaves figures after their
+    page's text and before the next page's spans, the north rule's
+    'text runs + media_refs for embedded images/figures, in order' contract
+    (the reference's frontend renders these as inline figure placeholders).
+    A page whose content failed to decode (page record payload None) becomes
+    a kind='page_error' span — the extraction kernels emit the reference's
+    page-scoped '[Error processing page N]' span for it while the document's
+    OTHER pages extract normally (r4 VERDICT #3, main.py:361-372
+    granularity). Only document-LEVEL failures degrade to one invalid span
+    (text NULL) which the pipeline turns into the standard doc error
+    sentinel. Arrow-batched mapInPandas; zero shuffles."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -2188,19 +2212,30 @@ def pdf_binary_to_corpus(df):
             for blob in pdf["pdf"]:
                 try:
                     records = pdf_to_page_records(bytes(blob))
-                    spans_col.append(
-                        [
-                            {"kind": "page_error", "text": None,
+                    spans = []
+                    for i, (p, n_ev, n_img, images) in enumerate(records):
+                        if p is None:
+                            spans.append(
+                                {"kind": "page_error", "text": None,
+                                 "media_ref": f"page:{i}", "offset": i}
+                            )
+                            continue
+                        spans.append(
+                            {"kind": "needs_ocr", "text": None,
                              "media_ref": f"page:{i}", "offset": i}
-                            if p is None
-                            else {"kind": "needs_ocr", "text": None,
-                                  "media_ref": f"page:{i}", "offset": i}
                             if n_ev == 0 and n_img > 0
                             else {"kind": "pdf_chars", "text": p,
                                   "media_ref": None, "offset": i}
-                            for i, (p, n_ev, n_img) in enumerate(records)
-                        ]
-                    )
+                        )
+                        # figures AFTER the page's primary span: array pos is
+                        # the reading-order tie-break, so these sort after the
+                        # page's sentences and before the next page's spans
+                        spans.extend(
+                            {"kind": "media", "text": None,
+                             "media_ref": f"img:{i}:{j}:{nm}", "offset": i}
+                            for j, nm in enumerate(images)
+                        )
+                    spans_col.append(spans)
                 except Exception:
                     # untrusted-bytes boundary: ANY document-level decode
                     # failure degrades to the per-doc sentinel; the job never

@@ -283,8 +283,9 @@ def test_image_ops_counted_in_page_records():
         b"BI /W 1 /H 1 /BPC 8 ID \x7f\nEI\n"
     )
     recs = pdf_to_page_records(make_pdf([content]))
-    payload, n_ev, n_img = recs[0]
+    payload, n_ev, n_img, images = recs[0]
     assert n_ev == 0 and n_img == 2 and payload == "PAGE\t612\t792"
+    assert images == ("Im1", "inline")  # paint order: Do first, BI second
 
 
 # --- r3 VERDICT #3/#4 + ADVICE: stream filters, /Encrypt, ObjStm slicing -----
@@ -535,6 +536,7 @@ def test_image_only_page_emits_needs_ocr_span(spark):
         ("text", LONG1, None),
         ("text", LONG2, None),
         ("needs_ocr", None, "page:1"),
+        ("media", None, "img:1:0:Im1"),  # interleaved figure ref, paint order
     ]
     assert not out["parse_failed"]
 
@@ -547,9 +549,10 @@ def test_pure_image_pdf_needs_ocr_not_zero_spans(spark):
     df = spark.createDataFrame([("scan-2", bytearray(pdf))], "doc_id string, pdf binary")
     out = extract_corpus(pdf_binary_to_corpus(df)).collect()[0]
     assert [(s["kind"], s["media_ref"], s["offset"]) for s in out["spans"]] == [
-        ("needs_ocr", "page:0", 0), ("needs_ocr", "page:1", 1)
+        ("needs_ocr", "page:0", 0), ("media", "img:0:0:Im1", 1),
+        ("needs_ocr", "page:1", 2), ("media", "img:1:0:inline", 3),
     ]
-    assert not out["parse_failed"] and out["n_spans"] == 2
+    assert not out["parse_failed"] and out["n_spans"] == 4
 
 
 def test_truly_empty_page_still_yields_zero_spans():
@@ -561,7 +564,7 @@ def test_truly_empty_page_still_yields_zero_spans():
     from pdf_extract_sys_spark.sources.pdf_bytes import pdf_to_page_records
 
     recs = pdf_to_page_records(make_pdf([b"q Q"]))
-    assert recs == [("PAGE\t612\t792", 0, 0)]
+    assert recs == [("PAGE\t612\t792", 0, 0, ())]
 
 
 def test_helvetica_afm_widths_no_widths_array():
@@ -743,16 +746,16 @@ def test_form_with_text_is_not_needs_ocr():
     from pdf_extract_sys_spark.sources.pdf_bytes import pdf_to_page_records
 
     form = f"BT /F1 12 Tf 72 720 Td ({LONG1}) Tj ET".encode()
-    payload, n_ev, n_img = pdf_to_page_records(_pdf_with_form(form))[0]
-    assert n_ev == len(LONG1) and n_img == 0
+    payload, n_ev, n_img, images = pdf_to_page_records(_pdf_with_form(form))[0]
+    assert n_ev == len(LONG1) and n_img == 0 and images == ()
 
 
 def test_image_xobject_still_counts_as_image():
     from pdf_extract_sys_spark.sources.pdf_bytes import pdf_to_page_records
 
     pdf = _pdf_with_form(b"", page_content=b"q /Im9 Do Q")  # /Im9 unresolvable
-    payload, n_ev, n_img = pdf_to_page_records(pdf)[0]
-    assert n_ev == 0 and n_img == 1
+    payload, n_ev, n_img, images = pdf_to_page_records(pdf)[0]
+    assert n_ev == 0 and n_img == 1 and images == ("Im9",)
 
 
 def test_self_referencing_form_terminates():

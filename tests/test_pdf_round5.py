@@ -541,7 +541,7 @@ def test_rotate_90_with_offset_mediabox_origin():
                b"/MediaBox [50 50 662 842] >>")
     objs[3] = (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Rotate 90 "
                b"/Resources << /Font << /F1 5 0 R >> >> >>")
-    (payload, n_ev, _n_img), = pdf_to_page_records(build_pdf(objs))
+    (payload, n_ev, _n_img, _imgs), = pdf_to_page_records(build_pdf(objs))
     lines = payload.split("\n")
     assert lines[0] == "PAGE\t792\t612"  # swapped display dims (extents)
     first = lines[1].split("\t")
@@ -561,7 +561,7 @@ def test_unrotated_offset_origin_keeps_absolute_convention():
     objs = basic_objs(content)
     objs[2] = (b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
                b"/MediaBox [50 50 662 842] >>")
-    (payload, _n, _i), = pdf_to_page_records(build_pdf(objs))
+    (payload, _n, _i, _im), = pdf_to_page_records(build_pdf(objs))
     first = payload.split("\n")[1].split("\t")
     assert abs(float(first[1]) - 72.0) < 1e-6  # absolute media x, unrebase
 
@@ -1053,7 +1053,7 @@ def test_type0_embedded_cmap_encoding_sentinels_not_mojibake():
     objs[6] = b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Emb /DW 600 >>"
     objs[7] = (b"<< /Length " + str(len(cmap)).encode() + b" >>\nstream\n"
                + cmap + b"\nendstream")
-    (payload, n_ev, _n_img), = pdf_to_page_records(build_pdf(objs))
+    (payload, n_ev, _n_img, _imgs), = pdf_to_page_records(build_pdf(objs))
     assert payload is None and n_ev == 0  # page-scoped sentinel, not garbage
 
 
