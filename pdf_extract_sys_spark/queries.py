@@ -1124,6 +1124,111 @@ WHERE ROUND(({eqs}) / {float(_MINHASH_K)}, 4) >= 0.5
 
 SQL_LSH_PAIRS = _sql_lsh_pairs()
 
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup dedup: screen a NEW batch against an EXISTING
+    reference corpus without ever pairing the reference against itself — the
+    shape a production pipeline actually runs daily (new crawl vs historical
+    index). Stand-in split: even doc_ids = the indexed reference, odd = the
+    incoming batch. Output = one verdict row per NEW doc: how many reference
+    docs it near-duplicates (minhash-estimated Jaccard ≥ 0.5), the smallest
+    matching reference doc_id, and is_novel.
+
+    100 TB shape: the banded reference signatures ARE the persisted dedup
+    index (write once; in production a bucketed table keyed on band). A batch
+    run computes signatures for the batch only and bucket-joins new-bands ⋈
+    ref-bands — incremental cost O(batch), never O(corpus²) or a re-pairing
+    of the index. The hot-band guard caps the REFERENCE side: a band with
+    more than _LSH_BAND_CAP indexed members degrades to keeper-only pairing
+    (linear), so one degenerate band can't go quadratic. Signatures are
+    persisted for the duration of the two band joins only and released after
+    the verdicts are materialized (house cache-lifecycle contract)."""
+    sigs = q_minhash_signatures(spark, sf_dir).persist()
+    b0 = _h56(F.concat_ws(",", "h0", "h1", "h2", "h3"))
+    b1 = _h56(F.concat_ws(",", "h4", "h5", "h6", "h7"))
+
+    def banded(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", *[f"h{k}" for k in range(_MINHASH_K)],
+            F.explode(F.array(b0.alias("b"), b1.alias("b"))).alias("band"),
+        )
+
+    ref = banded(sigs.filter(F.col("doc_id") % 2 == 0))
+    wb = Window.partitionBy("band")
+    ref = ref.withColumn("band_n", F.count("*").over(wb)).withColumn(
+        "band_keeper", F.min("doc_id").over(wb)
+    )
+    new = banded(sigs.filter(F.col("doc_id") % 2 == 1))
+    n, r = new.alias("n"), ref.alias("r")
+    guard = (F.col("r.band_n") <= F.lit(_LSH_BAND_CAP)) | (
+        F.col("r.doc_id") == F.col("r.band_keeper")
+    )
+    est = sum(
+        (F.col(f"n.h{k}") == F.col(f"r.h{k}")).cast("int") for k in range(_MINHASH_K)
+    ) / _MINHASH_K
+    pairs = (
+        n.join(r, (F.col("n.band") == F.col("r.band")) & guard)
+        .filter(est >= 0.5)
+        .select(F.col("n.doc_id").alias("doc_new"), F.col("r.doc_id").alias("doc_ref"))
+        .distinct()
+    )
+    verdicts = pairs.groupBy("doc_new").agg(
+        F.count("*").alias("n_dup_refs"), F.min("doc_ref").alias("min_ref")
+    )
+    out = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id")
+        .join(verdicts, F.col("doc_id") == F.col("doc_new"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_refs", F.lit(0)).alias("n_dup_refs"),
+            "min_ref",
+            F.col("n_dup_refs").isNull().alias("is_novel"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sigs.unpersist()
+    return out
+
+
+def _sql_incremental_dedup() -> str:
+    eqs = " + ".join(
+        f"CASE WHEN n.h{k} = r.h{k} THEN 1 ELSE 0 END" for k in range(_MINHASH_K)
+    )
+    band_cols = "h0,h1,h2,h3,h4,h5,h6,h7"
+    return f"""
+WITH sigs AS ({_sql_minhash_sigs()}),
+banded AS (
+  SELECT doc_id, {band_cols}, band FROM (
+    SELECT *, {_h56_sql("h0 || ',' || h1 || ',' || h2 || ',' || h3")} AS band FROM sigs
+    UNION ALL
+    SELECT *, {_h56_sql("h4 || ',' || h5 || ',' || h6 || ',' || h7")} AS band FROM sigs)),
+cref AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY band) AS band_n,
+            MIN(doc_id) OVER (PARTITION BY band) AS band_keeper
+  FROM banded WHERE doc_id % 2 = 0),
+pairs AS (
+  SELECT DISTINCT n.doc_id AS doc_new, r.doc_id AS doc_ref
+  FROM banded n JOIN cref r
+    ON n.band = r.band
+   AND (r.band_n <= {_LSH_BAND_CAP} OR r.doc_id = r.band_keeper)
+  WHERE n.doc_id % 2 = 1 AND ({eqs}) / {float(_MINHASH_K)} >= 0.5),
+v AS (SELECT doc_new, CAST(COUNT(*) AS BIGINT) AS n_dup_refs,
+             MIN(doc_ref) AS min_ref
+      FROM pairs GROUP BY doc_new)
+SELECT d.doc_id,
+       COALESCE(v.n_dup_refs, 0) AS n_dup_refs,
+       v.min_ref AS min_ref,
+       v.n_dup_refs IS NULL AS is_novel
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN v ON d.doc_id = v.doc_new
+"""
+
+
+SQL_INCREMENTAL_DEDUP = _sql_incremental_dedup()
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard over near-dup candidates — the verify stage of the
     two-stage dedup pipeline: MinHash-LSH proposes candidate pairs (bounded,
@@ -2787,6 +2892,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "q_minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
     "q_minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_LSH_PAIRS),
+    "q_incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
     "q_dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "q_fingerprint_modp": (q_fingerprint_modp, SQL_FINGERPRINT),
