@@ -2235,6 +2235,19 @@ SELECT doc_id, CAST(i AS INT) - 1 AS span_offset,
 FROM w
 """
 
+# q_extract_pdf_bytes: the sentence re-derivation PLUS the variant-9 docs'
+# interleaved media span — one NULL-text row at out_offset = n_sentences (the
+# figure paints after the text, so reading order places it last on the page)
+SQL_EXTRACT_PDF = f"""
+SELECT * FROM ({SQL_EXTRACT})
+UNION ALL
+SELECT doc_id,
+       CAST(CEIL(LEN(string_split({_SANITIZE_SQL}, ' ')) / {float(_SENT_WORDS)}) AS INT) AS span_offset,
+       NULL AS span_text
+FROM documents
+WHERE LENGTH(text) >= {_MIN_CHARS} AND doc_id % 10 = 9
+"""
+
 
 def _png_up_encode(data: bytes, columns: int) -> bytes:
     """PNG 'Up' row-filter encoding (filter byte 2 per row) — the inverse of
@@ -2423,14 +2436,15 @@ def _rc4_encrypt_objects(
     return out, trailer_extra, id0
 
 
-N_PDF_VARIANTS = 9
+N_PDF_VARIANTS = 10
 
 
 def _serialize_variant_pdf(doc_id: int, text: str) -> bytes:
     """One REAL single-page PDF for ``text``, its SERIALIZATION deterministically
-    varied by doc_id mod 9 (r4 VERDICT #6) — so the driver's q_extract_pdf_bytes
+    varied by doc_id mod 10 (r4 VERDICT #6) — so the driver's q_extract_pdf_bytes
     oracle certifies the full round-3/4/5 interpreter surface, not just the
-    simplest PDF 1.4 shape. All nine variants must extract to IDENTICAL spans:
+    simplest PDF 1.4 shape. All ten variants must extract to IDENTICAL text
+    spans (variant 9 additionally appends one interleaved media span):
 
       0: uncompressed content stream, classic xref table + trailer
       1: FlateDecode content, classic xref
@@ -2451,6 +2465,11 @@ def _serialize_variant_pdf(doc_id: int, text: str) -> bytes:
          text byte shifted +0x80, decoded back through a full /Differences
          array of AGL glyph names, with /FirstChar 160 /Widths carrying the
          same Helvetica AFM values so geometry is byte-identical
+      9: MIXED text+figure page: the same text Tj plus an image XObject
+         painted after it (q cm /Im1 Do Q) — the extracted spans are the
+         variant-0 sentences PLUS one kind='media' span 'img:0:0:Im1' at the
+         end of the page's reading order (the interleaved text+media
+         contract under the driver's oracle)
     """
     import zlib
 
@@ -2470,6 +2489,11 @@ def _serialize_variant_pdf(doc_id: int, text: str) -> bytes:
         # the /Rotate 90 display map (x, y) -> (y, w - x) then lands each char
         # at display x = u + 10, y in [560, 572] — a normal reading-order row
         content = b"BT /F1 12 Tf 0 1 -1 0 52 10 Tm (" + esc.encode() + b") Tj ET"
+    elif v == 9:
+        content = (
+            b"BT /F1 12 Tf 10 760 Td (" + esc.encode() + b") Tj ET\n"
+            b"q 100 0 0 50 400 300 cm /Im1 Do Q"
+        )
     else:
         content = b"BT /F1 12 Tf 10 760 Td (" + esc.encode() + b") Tj ET"
 
@@ -2490,16 +2514,22 @@ def _serialize_variant_pdf(doc_id: int, text: str) -> bytes:
         cobj = b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
 
     page_extra = b" /Rotate 90" if v == 5 else b""
+    xobj_extra = b" /XObject << /Im1 6 0 R >>" if v == 9 else b""
     dicts = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
         3: (b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
             + page_extra
-            + b" /Resources << /Font << /F1 5 0 R >> >> >>"),
+            + b" /Resources << /Font << /F1 5 0 R >>" + xobj_extra + b" >> >>"),
         5: (_reencoded_font_dict() if v == 8
             else b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
     }
     objs: dict[int, bytes] = {4: cobj}
+    if v == 9:
+        objs[6] = (
+            b"<< /Subtype /Image /Width 1 /Height 1 /BitsPerComponent 8"
+            b" /ColorSpace /DeviceGray /Length 1 >>\nstream\n\x7f\nendstream"
+        )
     if v == 4:
         touni = (b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
                  b"1 beginbfrange\n<0020> <007e> <0020>\nendbfrange")
@@ -2543,9 +2573,10 @@ def documents_to_pdf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     terminates each 10-word group with '.' (identical derivation to
     documents_to_corpus, so the same SQL oracle applies); an Arrow-batched
     serializer then writes a complete PDF file whose on-disk SERIALIZATION
-    varies deterministically per doc_id (mod 9 — uncompressed / Flate /
+    varies deterministically per doc_id (mod 10 — uncompressed / Flate /
     Flate+predictor+xref-stream / ObjStm / Type0+ToUnicode / Rotate 90 /
-    RC4-encrypted / AES-encrypted / Differences+AGL-re-encoded font, see
+    RC4-encrypted / AES-encrypted / Differences+AGL-re-encoded font /
+    mixed text+figure page, see
     _serialize_variant_pdf) — the input shape a user holding actual PDFs has,
     covering the modern interpreter surface under the driver's oracle
     (r4 VERDICT #6). Binary serialization is per-blob Python inside mapInArrow
@@ -2906,7 +2937,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_media_meta": (q_media_meta, SQL_MEDIA_META),
     "q_jpeg_decode": (q_jpeg_decode, SQL_JPEG_DECODE),
     "q_extract_sentences": (q_extract_sentences, SQL_EXTRACT),
-    "q_extract_pdf_bytes": (q_extract_pdf_bytes, SQL_EXTRACT),
+    "q_extract_pdf_bytes": (q_extract_pdf_bytes, SQL_EXTRACT_PDF),
     "q_needs_ocr_worklist": (q_needs_ocr_worklist, SQL_NEEDS_OCR),
     "q_media_figures": (q_media_figures, SQL_MEDIA_FIGURES),
     "q_extract_html": (q_extract_html, SQL_EXTRACT_HTML),
