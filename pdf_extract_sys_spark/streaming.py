@@ -193,6 +193,67 @@ def sessionize_events_stream(events: DataFrame) -> DataFrame:
     )
 
 
+DEDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("content_hash", T.LongType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("keeper_doc_id", T.LongType(), False),
+    ]
+)
+
+DEDUP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("keeper_doc_id", T.LongType(), False),
+    ]
+)
+
+
+def dedup_exact_stream(docs: DataFrame) -> DataFrame:
+    """STREAMING exact dedup — the incremental analogue of q_dedup_exact:
+    per content hash, carry (n_docs, keeper_doc_id) across micro-batches and
+    emit the updated row every batch ("update" semantics; the latest row per
+    hash is the current dedup verdict). The fold is a commutative monoid
+    (count-sum, min-keeper), so after draining any split of the corpus the
+    final state equals the batch groupBy exactly — arrival order and batch
+    boundaries cannot change the answer, the property that makes the operator
+    safe to run over an unbounded crawl feed.
+
+    The content hash (the same 56-bit md5-derived key as the batch query) is
+    computed in Catalyst BEFORE the stateful op, so the shuffle key exists
+    JVM-side and the Python state fold touches only (hash, doc_id) pairs —
+    never document text. At 10^12-doc scale the state store holds one
+    16-byte row per DISTINCT document, partitioned by hash."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    h = F.conv(F.substring(F.md5(F.trim(F.lower(F.col("text")))), 1, 14), 16, 10)
+    keyed = docs.select(h.cast("long").alias("content_hash"), "doc_id")
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd  # closure ships by value; worker needs its own import
+
+        n, keeper = state.get if state.exists else (0, None)
+        for p in pdfs:
+            if not len(p):
+                continue
+            n += len(p)
+            m = int(p["doc_id"].min())
+            keeper = m if keeper is None else min(keeper, m)
+        if keeper is not None:
+            state.update((n, keeper))
+            yield pd.DataFrame(
+                {"content_hash": [key[0]], "n_docs": [n], "keeper_doc_id": [keeper]}
+            )
+
+    return keyed.groupBy("content_hash").applyInPandasWithState(
+        fold,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(events: DataFrame, *, window: str = "30 minutes",
                           watermark: str = "10 minutes") -> DataFrame:
     """Event-time windowed aggregation with a watermark for late data: the

@@ -199,3 +199,55 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
         )
     }
     assert got == want and len(got) > 0
+
+
+def _drain_dedup(spark, in_dir, out_dir, cp_dir):
+    from pyspark.sql import functions as F
+
+    from pdf_extract_sys_spark.streaming import dedup_exact_stream
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    out = dedup_exact_stream(stream)
+
+    def sink(df, eid):
+        df.withColumn("epoch", F.lit(int(eid))).write.mode("append").parquet(out_dir)
+
+    q = (out.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", cp_dir)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def test_streaming_dedup_matches_batch_any_split(spark, tmp_path):
+    """dedup_exact_stream folds a commutative monoid (count-sum, min-keeper),
+    so the final state after draining ANY split of the corpus equals the batch
+    q_dedup_exact groupBy. The split is adversarial: the SECOND drain delivers
+    the even (smaller-min) doc_ids, so a first-seen-wins implementation would
+    keep the wrong keeper — min-merge must win."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pdf_extract_sys_spark.queries import q_dedup_exact
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    in_dir, out_dir, cp = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "cp")
+
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(in_dir)
+    _drain_dedup(spark, in_dir, out_dir, cp)
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(in_dir)
+    _drain_dedup(spark, in_dir, out_dir, cp)
+
+    w = Window.partitionBy("content_hash").orderBy(F.col("epoch").desc())
+    final = (
+        spark.read.parquet(out_dir)
+        .withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    )
+    got = {
+        r["content_hash"]: (r["n_docs"], r["keeper_doc_id"]) for r in final.collect()
+    }
+    want = {
+        r["content_hash"]: (r["n_docs"], r["keeper_doc_id"])
+        for r in q_dedup_exact(spark, SF_DIR).collect()
+    }
+    assert got == want
