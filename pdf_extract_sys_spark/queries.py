@@ -2747,15 +2747,21 @@ def q_media_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("spans").alias("s"))
         .filter(F.col("s.kind") == F.lit("media"))
     )
+    # sort ONCE on the numeric offset (struct array_sort orders by the first
+    # field numerically) and derive both strings from it — lexicographic
+    # string sorting would misorder two-digit offsets ('10' before '2')
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("s.offset").alias("o"), F.col("s.media_ref").alias("m")))
+    )
     out = (
         ex.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_figures"),
-            F.array_join(F.array_sort(F.collect_list("s.media_ref")), ",").alias(
-                "figs"
-            ),
             F.array_join(
-                F.array_sort(F.collect_list(F.col("s.offset").cast("string"))), ","
+                F.transform(ordered, lambda x: x["m"]), ","
+            ).alias("figs"),
+            F.array_join(
+                F.transform(ordered, lambda x: x["o"].cast("string")), ","
             ).alias("offs"),
         )
         .select(

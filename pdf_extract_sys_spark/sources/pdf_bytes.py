@@ -1647,11 +1647,10 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None], *,
             elif op == b"Do":
                 name = stack[-1] if stack and isinstance(stack[-1], bytes) else None
                 body = xobjects.get(name) if (xobjects and name) else None
-                if (
-                    body is not None
-                    and re.search(rb"/Subtype\s*/Form\b", body)
-                    and depth < _FORM_MAX_DEPTH
-                ):
+                is_form = body is not None and bool(
+                    re.search(rb"/Subtype\s*/Form\b", body)
+                )
+                if is_form and depth < _FORM_MAX_DEPTH:
                     sub_content = _stream_data(body, objs)
                     mm = _MATRIX_RE.search(body)
                     fmat = (
@@ -1667,14 +1666,18 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None], *,
                     n_image_ops += sub_img
                     images.extend(sub_images)
                 else:
-                    # image XObject (or unresolvable name) — needs-OCR signal
-                    # + an interleaved figure reference in paint order
+                    # image XObject (or unresolvable name) — needs-OCR signal;
+                    # also an interleaved figure reference in paint order,
+                    # EXCEPT for a depth-capped form: that is a text container
+                    # whose recursion was bounded, not a painted image — a
+                    # media span for it would present text as a figure
                     n_image_ops += 1
-                    images.append(
-                        name.decode("latin-1").lstrip("/")
-                        if name is not None
-                        else "unresolved"
-                    )
+                    if not is_form:
+                        images.append(
+                            name.decode("latin-1").lstrip("/")
+                            if name is not None
+                            else "unresolved"
+                        )
                 stack.clear()
             else:
                 stack.clear()  # untracked operator consumes its operands

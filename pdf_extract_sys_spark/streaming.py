@@ -226,8 +226,11 @@ def dedup_exact_stream(docs: DataFrame) -> DataFrame:
     16-byte row per DISTINCT document, partitioned by hash."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    h = F.conv(F.substring(F.md5(F.trim(F.lower(F.col("text")))), 1, 14), 16, 10)
-    keyed = docs.select(h.cast("long").alias("content_hash"), "doc_id")
+    from .queries import _h56  # the batch query's exact hash — shared, not copied
+
+    keyed = docs.select(
+        _h56(F.trim(F.lower(F.col("text")))).alias("content_hash"), "doc_id"
+    )
 
     def fold(key, pdfs, state: GroupState):
         import pandas as pd  # closure ships by value; worker needs its own import

@@ -760,11 +760,16 @@ def test_image_xobject_still_counts_as_image():
 
 def test_self_referencing_form_terminates():
     """A form whose stream paints itself must terminate via the depth cap
-    (counted as an image at the cap, never infinite recursion)."""
+    (counted as an image at the cap, never infinite recursion) — and a
+    depth-capped FORM must NOT surface as a media figure span: it is a text
+    container whose recursion was bounded, not a painted image."""
+    from pdf_extract_sys_spark.sources.pdf_bytes import pdf_to_page_records
+
     form = b"q /Fm1 Do Q"
     pdf = _pdf_with_form(form)
-    payload = pdf_to_pdf_chars_payloads(pdf)[0]
+    payload, _n_ev, n_img, images = pdf_to_page_records(pdf)[0]
     assert payload.startswith("PAGE")
+    assert n_img >= 1 and images == ()
 
 
 def test_rotate_90_maps_to_display_space():
