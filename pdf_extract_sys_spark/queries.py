@@ -2612,14 +2612,35 @@ def documents_to_pdf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(texts).mapInArrow(serialize, "doc_id string, pdf binary")
 
 
+_WORKLIST_JPEG_CACHE: bytes | None = None
+
+
+def _worklist_jpeg() -> bytes:
+    """The worklist PDFs' image payload: a DETERMINISTIC 8x8 flat-gray
+    baseline JPEG from the pure-numpy encoder — so the /DCTDecode image
+    XObject carries a REAL codec bitstream whose byte length, container
+    format and dimensions the DuckDB oracle can pin as constants."""
+    global _WORKLIST_JPEG_CACHE
+    if _WORKLIST_JPEG_CACHE is None:
+        import numpy as np
+
+        from .functions.jpeg import encode_baseline_jpeg
+
+        _WORKLIST_JPEG_CACHE = encode_baseline_jpeg(
+            np.full((8, 8), 127, dtype=np.uint8)
+        )
+    return _WORKLIST_JPEG_CACHE
+
+
 def _serialize_worklist_pdf(doc_id: int, text: str) -> bytes:
     """A multi-page PDF: page 0 shows ``text``; then (deterministically per
     doc_id) 0, 1, or 2 IMAGE-ONLY pages — each paints an image XObject and
     shows no text, so the interpreter emits the needs-OCR signal for it
-    (doc_id % 3 == 0 → one image page; % 9 == 0 → two). The image stream is a
-    real /Subtype /Image XObject; Do counts it without decoding (the marked
-    codec seam), exactly the raster/OCR boundary of the reference
-    (main.py:570-632)."""
+    (doc_id % 3 == 0 → one image page; % 9 == 0 → two). The image is a real
+    /Subtype /Image /Filter /DCTDecode XObject carrying a deterministic
+    baseline-JPEG bitstream: Do counts it without decoding (the raster/OCR
+    boundary of the reference, main.py:570-632), while pdf_binary_to_media
+    extracts the JPEG payload pdfimages-style."""
     esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
     n_img_pages = 2 if doc_id % 9 == 0 else (1 if doc_id % 3 == 0 else 0)
     content = b"BT /F1 12 Tf 10 760 Td (" + esc.encode() + b") Tj ET"
@@ -2647,9 +2668,11 @@ def _serialize_worklist_pdf(doc_id: int, text: str) -> bytes:
                 b"<< /Length %d >>\nstream\n" % len(img_content)
                 + img_content + b"\nendstream"
             )
+        jp = _worklist_jpeg()
         objs[imobj] = (
-            b"<< /Subtype /Image /Width 1 /Height 1 /BitsPerComponent 8"
-            b" /ColorSpace /DeviceGray /Length 1 >>\nstream\n\x7f\nendstream"
+            b"<< /Subtype /Image /Width 8 /Height 8 /BitsPerComponent 8"
+            b" /ColorSpace /DeviceGray /Filter /DCTDecode /Length %d"
+            b" >>\nstream\n" % len(jp) + jp + b"\nendstream"
         )
     return _pdf_assemble_classic(objs, b"%PDF-1.4\n")
 
@@ -2785,6 +2808,47 @@ SELECT doc_id,
 FROM documents
 WHERE LENGTH(text) >= {_MIN_CHARS} AND doc_id % 3 = 0
 """
+
+
+def q_media_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Figure PAYLOAD resolution from real PDF bytes: pdf_binary_to_media
+    walks the same interpreter paint order as the media spans and emits one
+    row per painted image with its decoded payload — transport filters
+    applied, trailing codec filter stripped pdfimages-style, so the
+    /DCTDecode worklist figures arrive as their actual JPEG bitstreams and
+    sniff_media types them from the container header. The oracle pins the
+    byte length, codec, container format and dimensions of the deterministic
+    encoder output — certifying the whole chain (serializer → xref discovery
+    → stream slicing → filter handling → payload → sniff) as constants."""
+    from .sources.pdf_bytes import pdf_binary_to_media
+
+    return (
+        pdf_binary_to_media(documents_to_worklist_pdf_binary(spark, sf_dir))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "media_ref", "n_bytes", "codec", "fmt", "width", "height",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _sql_media_payloads() -> str:
+    n = len(_worklist_jpeg())
+    return f"""
+SELECT doc_id,
+       'img:' || pg || ':0:Im1' AS media_ref,
+       CAST({n} AS INT) AS n_bytes,
+       'DCTDecode' AS codec,
+       'jpeg' AS fmt,
+       CAST(8 AS INT) AS width,
+       CAST(8 AS INT) AS height
+FROM documents, (VALUES (1), (2)) pages(pg)
+WHERE LENGTH(text) >= {_MIN_CHARS} AND doc_id % 3 = 0
+  AND (pg = 1 OR doc_id % 9 = 0)
+"""
+
+
+SQL_MEDIA_PAYLOADS = _sql_media_payloads()
 
 
 def q_extract_pdf_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2946,6 +3010,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_extract_pdf_bytes": (q_extract_pdf_bytes, SQL_EXTRACT_PDF),
     "q_needs_ocr_worklist": (q_needs_ocr_worklist, SQL_NEEDS_OCR),
     "q_media_figures": (q_media_figures, SQL_MEDIA_FIGURES),
+    "q_media_payloads": (q_media_payloads, SQL_MEDIA_PAYLOADS),
     "q_extract_html": (q_extract_html, SQL_EXTRACT_HTML),
     "q_extract_dedup": (q_extract_dedup, SQL_EXTRACT_DEDUP),
 }

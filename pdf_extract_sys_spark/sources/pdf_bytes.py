@@ -696,6 +696,10 @@ def _stream_data(body: bytes, objs: dict[int, bytes] | None = None) -> bytes:
     raw = body[span[0] : span[1]]
     filters = _parse_filters(body, o)
     parms = _parse_decode_parms(body, o, len(filters))
+    return _apply_filter_chain(raw, filters, parms)
+
+
+def _apply_filter_chain(raw: bytes, filters: list, parms: list) -> bytes:
     for name, parm in zip(filters, parms):
         if name == b"FlateDecode":
             try:
@@ -717,6 +721,27 @@ def _stream_data(body: bytes, objs: dict[int, bytes] | None = None) -> bytes:
             # DCTDecode & co need codec-grade tables/libraries — marked seam
             raise PdfParseError(f"unsupported stream filter /{name.decode()}")
     return raw
+
+
+def _media_payload(body: bytes, objs: dict[int, bytes] | None = None) -> tuple[bytes, str | None]:
+    """Decode an image XObject's stream for media EXTRACTION — the pdfimages
+    semantics: apply the TRANSPORT filters (Flate/LZW/A85/AHx/RL) but stop at
+    a trailing codec-bound filter, because a /DCTDecode image's payload IS
+    the JPEG bitstream (likewise JPX/CCITT/JBIG2). Returns (payload, codec)
+    where codec names the stripped image-codec filter (None when the chain
+    fully decodes to raw samples). Raises PdfParseError like _stream_data."""
+    o = objs or {}
+    span = _raw_stream_span(body, o)
+    if span is None:
+        raise PdfParseError("object has no stream")
+    raw = body[span[0] : span[1]]
+    filters = _parse_filters(body, o)
+    parms = _parse_decode_parms(body, o, len(filters))
+    codec = None
+    if filters and filters[-1] in _CODEC_BOUND_FILTERS:
+        codec = filters[-1].decode()
+        filters, parms = filters[:-1], parms[:-1]
+    return _apply_filter_chain(raw, filters, parms), codec
 
 
 _OBJSTM_MAX_N = 50_000  # header sanity cap — a hostile /N can't balloon memory
@@ -936,7 +961,11 @@ def _parse_cid_widths(s: bytes) -> dict[int, int]:
     def _num(t: bytes) -> int:
         if t in (b"[", b"]"):
             raise PdfParseError("malformed /W array")
-        return int(float(t))
+        try:
+            return int(float(t))
+        except (ValueError, OverflowError) as e:
+            # a ~310+-digit run floats to inf; int(inf) → OverflowError
+            raise PdfParseError("malformed /W number") from e
 
     toks = re.findall(rb"\[|\]|-?\d+(?:\.\d+)?", s)
     out: dict[int, int] = {}
@@ -999,7 +1028,8 @@ def _simple_widths(body: bytes) -> tuple[int, dict[int, int]]:
         first = int(_FIRSTCHAR_RE.search(body).group(1)) if _FIRSTCHAR_RE.search(body) else 0
         try:
             vals = [int(float(v)) for v in wm.group(1).split()]
-        except ValueError as e:
+        except (ValueError, OverflowError) as e:
+            # OverflowError: a token like '1e999' floats to inf (fuzz finding)
             raise PdfParseError("non-numeric /Widths entry") from e
         # explicit /Widths override the built-in AFM table per char code
         table.update({first + i: v for i, v in enumerate(vals)})
@@ -1410,10 +1440,13 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None], *,
     shown char in show order (PDF points, bottom-left origin — the FIXTURES.md
     pdf_chars contract); n_image_ops counts XObject paints (Do) and inline
     images — the signal the OCR-routing marker uses for image-only pages;
-    images = the painted image NAMES in paint order ('Im1' for /Im1 Do,
-    'inline' for BI…EI, 'unresolved' for a Do whose operand isn't a name)
-    — the interleaved-figure references the corpus model's media spans carry
-    (north rule: text runs + media_refs for embedded images, in order). A Do
+    images = (name, xobject_body|None) per painted image in paint order
+    ('Im1' for /Im1 Do, 'inline' for BI…EI with body None, 'unresolved' for
+    a Do whose operand isn't a name) — the interleaved-figure references the
+    corpus model's media spans carry (north rule: text runs + media_refs for
+    embedded images, in order); the body enables payload extraction at the
+    point where the CORRECT resource dictionary was in scope (an image
+    painted inside a form resolves through the form's /XObject entries). A Do
     naming a /Subtype /Form XObject EXECUTES the form's content stream inline
     (its own /Resources when present, else the caller's; the form /Matrix
     concatenated onto the CTM; nesting bounded at _FORM_MAX_DEPTH) — text
@@ -1444,7 +1477,7 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None], *,
     stack: list = []
     events: list[tuple[int, float, float, float, float]] = []
     n_image_ops = 0
-    images: list[str] = []
+    images: list[tuple[str, bytes | None]] = []
     in_array = False
     array_items: list = []
 
@@ -1530,7 +1563,7 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None], *,
     for tok in _tokenize(content):
         if tok is _IMG_TOKEN:
             n_image_ops += 1
-            images.append("inline")
+            images.append(("inline", None))
             continue
         if tok == "[":
             in_array, array_items = True, []
@@ -1674,9 +1707,12 @@ def _page_char_events(content: bytes, fonts: dict[bytes, _Font | None], *,
                     n_image_ops += 1
                     if not is_form:
                         images.append(
-                            name.decode("latin-1").lstrip("/")
-                            if name is not None
-                            else "unresolved"
+                            (
+                                name.decode("latin-1").lstrip("/")
+                                if name is not None
+                                else "unresolved",
+                                body,
+                            )
                         )
                 stack.clear()
             else:
@@ -2083,14 +2119,20 @@ def _page_order(objs: dict[int, bytes]) -> list[int] | None:
 
 def pdf_to_page_records(
     data: bytes,
-) -> list[tuple[str | None, int, int, tuple[str, ...]]]:
+    media_payloads: bool = False,
+) -> list[tuple[str | None, int, int, tuple]]:
     """PDF bytes → one (payload, n_text_events, n_image_ops, images) record
     per page, in document page order (the /Pages tree's /Kids order;
     object-number order only when no tree resolves). payload is the
     FIXTURES.md `pdf_chars` string; n_image_ops counts XObject paints + inline
     images (the needs-OCR signal for pages that draw images but show no text);
     images = the painted image names in paint order — the figure references
-    the corpus model interleaves as media spans.
+    the corpus model interleaves as media spans. With media_payloads=True
+    each images entry is instead (name, payload_bytes|None, codec|None): the
+    image stream decoded through its TRANSPORT filters with a trailing
+    codec-bound filter stripped and reported (the pdfimages semantics — a
+    /DCTDecode image's payload is its JPEG bitstream); undecodable entries
+    and inline images carry payload None.
 
     Error granularity matches the reference (main.py:361-372, 555-566): once
     object discovery succeeds, a page whose own content fails to decode yields
@@ -2167,7 +2209,21 @@ def pdf_to_page_records(
             # work — this loop runs once per char across the whole corpus
             recs = [f"PAGE\t{pw:g}\t{ph:g}"]
             recs += ["%08x\t%g\t%g\t%g\t%g" % ev for ev in events]
-            records.append(("\n".join(recs), len(events), n_image_ops, tuple(images)))
+            if media_payloads:
+                rec_imgs = []
+                for nm, ibody in images:
+                    if ibody is None:
+                        rec_imgs.append((nm, None, None))
+                        continue
+                    try:
+                        pay, codec = _media_payload(ibody, objs)
+                        rec_imgs.append((nm, pay, codec))
+                    except PdfParseError:
+                        rec_imgs.append((nm, None, None))
+                imgs_out = tuple(rec_imgs)
+            else:
+                imgs_out = tuple(nm for nm, _b in images)
+            records.append(("\n".join(recs), len(events), n_image_ops, imgs_out))
         except PdfParseError:
             # per-page isolation (r4 VERDICT #3): object discovery succeeded,
             # so this failure is scoped to ONE page's content — emit a page
@@ -2251,4 +2307,61 @@ def pdf_binary_to_corpus(df):
     return df.mapInPandas(
         decode,
         "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+
+
+def pdf_binary_to_media(df):
+    """Spark front-end resolving figure REFERENCES to figure PAYLOADS:
+    (doc_id string, pdf binary) → one row per painted image with
+    (doc_id, media_ref, media binary, n_bytes, codec, fmt, width, height).
+    media_ref is byte-identical to pdf_binary_to_corpus's media spans, so the
+    interleaved spans JOIN to their payloads on (doc_id, media_ref) — the
+    resolution step a multimodal training pipeline runs after extraction.
+    Payloads follow the pdfimages convention (_media_payload): transport
+    filters applied, trailing codec filter stripped and reported — a
+    /DCTDecode figure arrives as its JPEG bitstream, which sniff_media (and
+    the multimodal featurizers) then type from the container header.
+    Undecodable images keep their row with NULL media (never dropped
+    silently); document-level parse failures contribute no media rows (the
+    corpus side already carries the doc sentinel). Arrow-batched
+    mapInPandas; zero shuffles."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions.multimodal import sniff_media
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "media_ref", "media", "n_bytes", "codec",
+                "fmt", "width", "height"]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows: list[tuple] = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["pdf"]):
+                try:
+                    records = pdf_to_page_records(bytes(blob), media_payloads=True)
+                except Exception:
+                    continue  # doc sentinel lives on the corpus side
+                for i, (_p, _n_ev, _n_img, images) in enumerate(records):
+                    for j, (nm, pay, codec) in enumerate(images):
+                        fmt, _kind, w, h, _sr, _ch = (
+                            sniff_media(pay) if pay is not None else (None,) * 6
+                        )
+                        rows.append(
+                            (doc_id, f"img:{i}:{j}:{nm}", pay,
+                             len(pay) if pay is not None else None,
+                             codec, fmt, w, h)
+                        )
+            yield pd.DataFrame(dict(zip(cols, zip(*rows)))) if rows else None
+
+    def gen(batches):
+        for out in extract(batches):
+            if out is not None:
+                yield out
+
+    return df.mapInPandas(
+        gen,
+        "doc_id string, media_ref string, media binary, n_bytes int,"
+        " codec string, fmt string, width int, height int",
     )

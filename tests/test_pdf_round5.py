@@ -1088,3 +1088,50 @@ def test_differences_surrogate_glyph_name_is_dropped_not_crash():
     text = _extract_texts(build_pdf(objs))[0]
     assert text.startswith("A sentence") and "\ud800" not in text
     text.encode("utf-8")
+
+
+# ---------------------------------------------------------------------------------
+# media payload extraction (round-5 session 5): pdfimages semantics
+# ---------------------------------------------------------------------------------
+
+
+def test_media_payload_roundtrips_jpeg_through_pdf():
+    """The worklist PDF's /DCTDecode image extracts as its exact JPEG
+    bitstream (trailing codec filter stripped, not decoded), and that
+    bitstream decodes back to the flat source image."""
+    import numpy as np
+
+    from pdf_extract_sys_spark.functions.jpeg import decode_baseline_jpeg
+    from pdf_extract_sys_spark.queries import _serialize_worklist_pdf, _worklist_jpeg
+
+    pdf = _serialize_worklist_pdf(9, LONG1)  # %9==0: two image pages
+    recs = pdf_to_page_records(pdf, media_payloads=True)
+    assert [r[3] for r in recs][0] == ()  # text page paints nothing
+    for _p, _n, _i, images in recs[1:]:
+        assert len(images) == 1
+        nm, pay, codec = images[0]
+        assert nm == "Im1" and codec == "DCTDecode"
+        assert pay == _worklist_jpeg()
+        img = decode_baseline_jpeg(pay)
+        assert img is not None and img.shape[:2] == (8, 8)
+        assert int(img.min()) == int(img.max()) == 127
+
+
+def test_media_payload_strips_only_trailing_codec():
+    """A Flate-wrapped DCT image ( /Filter [/FlateDecode /DCTDecode] ) must
+    apply the transport filter and strip the codec: payload = the inner JPEG
+    bytes, codec = 'DCTDecode'."""
+    import zlib
+
+    from pdf_extract_sys_spark.queries import _worklist_jpeg
+    from pdf_extract_sys_spark.sources.pdf_bytes import _media_payload
+
+    jp = _worklist_jpeg()
+    wrapped = zlib.compress(jp)
+    body = (
+        b"<< /Subtype /Image /Width 8 /Height 8"
+        b" /Filter [/FlateDecode /DCTDecode] /Length %d >>\nstream\n"
+        % len(wrapped) + wrapped + b"\nendstream"
+    )
+    pay, codec = _media_payload(body, {})
+    assert pay == jp and codec == "DCTDecode"
