@@ -36,5 +36,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalents (column names match exactly)."""
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    """DuckDB-runnable ANSI SQL equivalents (column names match exactly).
+    Lazy registry entries (callables) are resolved here, not at import."""
+    from pdf_extract_sys_spark.queries import resolve_sql
+
+    return {
+        name: s
+        for name, (_fn, sql) in REGISTRY.items()
+        if (s := resolve_sql(sql)) is not None
+    }

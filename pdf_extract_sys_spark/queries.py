@@ -2823,7 +2823,11 @@ def q_media_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.pdf_bytes import pdf_binary_to_media
 
     return (
-        pdf_binary_to_media(documents_to_worklist_pdf_binary(spark, sf_dir))
+        pdf_binary_to_media(
+            documents_to_worklist_pdf_binary(spark, sf_dir),
+            # metadata-only consumer: the figure bytes never cross Arrow
+            include_payload=False,
+        )
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
             "media_ref", "n_bytes", "codec", "fmt", "width", "height",
@@ -2833,6 +2837,10 @@ def q_media_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_media_payloads() -> str:
+    # built LAZILY (registry resolves callables at oracle_sql() time): the
+    # byte-length constant needs the numpy JPEG encoder, which should not run
+    # — nor become an import-time dependency — for the 38 queries that never
+    # touch media
     n = len(_worklist_jpeg())
     return f"""
 SELECT doc_id,
@@ -2846,9 +2854,6 @@ FROM documents, (VALUES (1), (2)) pages(pg)
 WHERE LENGTH(text) >= {_MIN_CHARS} AND doc_id % 3 = 0
   AND (pg = 1 OR doc_id % 9 = 0)
 """
-
-
-SQL_MEDIA_PAYLOADS = _sql_media_payloads()
 
 
 def q_extract_pdf_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2973,7 +2978,13 @@ FROM d
 # registry
 # ---------------------------------------------------------------------------------
 
-REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+# SQL entries may be a string OR a zero-arg callable returning the string
+# (lazy oracles whose text needs import-time-expensive constants); resolve
+# with resolve_sql().
+REGISTRY: dict[
+    str,
+    tuple[Callable[[SparkSession, str], DataFrame], str | Callable[[], str] | None],
+] = {
     "q_pricing_summary": (q_pricing_summary, SQL_PRICING),
     "q_broadcast_join_topn": (q_broadcast_join_topn, SQL_TOPN),
     "q_anti_join_resume": (q_anti_join_resume, SQL_ANTI),
@@ -3010,7 +3021,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "q_extract_pdf_bytes": (q_extract_pdf_bytes, SQL_EXTRACT_PDF),
     "q_needs_ocr_worklist": (q_needs_ocr_worklist, SQL_NEEDS_OCR),
     "q_media_figures": (q_media_figures, SQL_MEDIA_FIGURES),
-    "q_media_payloads": (q_media_payloads, SQL_MEDIA_PAYLOADS),
+    "q_media_payloads": (q_media_payloads, _sql_media_payloads),
     "q_extract_html": (q_extract_html, SQL_EXTRACT_HTML),
     "q_extract_dedup": (q_extract_dedup, SQL_EXTRACT_DEDUP),
 }
+
+
+def resolve_sql(sql: "str | Callable[[], str] | None") -> str | None:
+    """Resolve a REGISTRY oracle entry: lazy callables are evaluated here, at
+    oracle-consumption time, never at module import."""
+    return sql() if callable(sql) else sql

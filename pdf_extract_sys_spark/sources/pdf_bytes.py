@@ -2168,7 +2168,8 @@ def pdf_to_page_records(
     if not pages:
         raise PdfParseError("no /Type /Page objects")
 
-    records: list[tuple[str | None, int, int, tuple[str, ...]]] = []
+    records: list[tuple[str | None, int, int, tuple]] = []
+    media_memo: dict[bytes, tuple[bytes | None, str | None]] = {}
     for _num, body in pages:
         try:
             m = _MEDIABOX_RE.search(body)
@@ -2215,11 +2216,17 @@ def pdf_to_page_records(
                     if ibody is None:
                         rec_imgs.append((nm, None, None))
                         continue
-                    try:
-                        pay, codec = _media_payload(ibody, objs)
-                        rec_imgs.append((nm, pay, codec))
-                    except PdfParseError:
-                        rec_imgs.append((nm, None, None))
+                    got = media_memo.get(ibody)
+                    if got is None:
+                        # memoized per body: a logo/watermark XObject painted
+                        # on every page decodes ONCE per document, not once
+                        # per paint
+                        try:
+                            got = _media_payload(ibody, objs)
+                        except PdfParseError:
+                            got = (None, None)
+                        media_memo[ibody] = got
+                    rec_imgs.append((nm, got[0], got[1]))
                 imgs_out = tuple(rec_imgs)
             else:
                 imgs_out = tuple(nm for nm, _b in images)
@@ -2310,7 +2317,7 @@ def pdf_binary_to_corpus(df):
     )
 
 
-def pdf_binary_to_media(df):
+def pdf_binary_to_media(df, include_payload: bool = True):
     """Spark front-end resolving figure REFERENCES to figure PAYLOADS:
     (doc_id string, pdf binary) → one row per painted image with
     (doc_id, media_ref, media binary, n_bytes, codec, fmt, width, height).
@@ -2320,10 +2327,16 @@ def pdf_binary_to_media(df):
     Payloads follow the pdfimages convention (_media_payload): transport
     filters applied, trailing codec filter stripped and reported — a
     /DCTDecode figure arrives as its JPEG bitstream, which sniff_media (and
-    the multimodal featurizers) then type from the container header.
+    the multimodal featurizers) then type from the container header. The
+    sniffer runs ONLY when a codec filter was stripped (the payload actually
+    is a container bitstream); fully-decoded raw samples are fmt=None — raw
+    pixel bytes must not be mistyped by a lucky magic-byte match.
     Undecodable images keep their row with NULL media (never dropped
     silently); document-level parse failures contribute no media rows (the
-    corpus side already carries the doc sentinel). Arrow-batched
+    corpus side already carries the doc sentinel). include_payload=False
+    keeps the metadata columns but ships media=NULL across the Arrow
+    boundary — for consumers that only need lengths/types, the (possibly
+    large) figure bytes never leave the Python worker. Arrow-batched
     mapInPandas; zero shuffles."""
     from collections.abc import Iterator
 
@@ -2346,22 +2359,21 @@ def pdf_binary_to_media(df):
                 for i, (_p, _n_ev, _n_img, images) in enumerate(records):
                     for j, (nm, pay, codec) in enumerate(images):
                         fmt, _kind, w, h, _sr, _ch = (
-                            sniff_media(pay) if pay is not None else (None,) * 6
+                            sniff_media(pay)
+                            if pay is not None and codec is not None
+                            else (None,) * 6
                         )
                         rows.append(
-                            (doc_id, f"img:{i}:{j}:{nm}", pay,
+                            (doc_id, f"img:{i}:{j}:{nm}",
+                             pay if include_payload else None,
                              len(pay) if pay is not None else None,
                              codec, fmt, w, h)
                         )
-            yield pd.DataFrame(dict(zip(cols, zip(*rows)))) if rows else None
-
-    def gen(batches):
-        for out in extract(batches):
-            if out is not None:
-                yield out
+            if rows:
+                yield pd.DataFrame(dict(zip(cols, zip(*rows))))
 
     return df.mapInPandas(
-        gen,
+        extract,
         "doc_id string, media_ref string, media binary, n_bytes int,"
         " codec string, fmt string, width int, height int",
     )

@@ -56,7 +56,10 @@ def _multiset(df):
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(name, spark, ddb):
+    from pdf_extract_sys_spark.queries import resolve_sql
+
     fn, sql = REGISTRY[name]
+    sql = resolve_sql(sql)
     assert sql is not None, f"{name} has no oracle"
     spdf = fn(spark, SF_DIR).toPandas()
     opdf = ddb.sql(sql).df()
