@@ -396,6 +396,41 @@ FROM documents
 """
 
 
+_VOCAB_TOP_K = 100
+
+
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level VOCABULARY statistics: the top-K tokens by global count —
+    the counting pass a tokenizer/vocab build (BPE base-vocab selection,
+    frequency-pruned wordpieces) runs over the whole corpus.
+
+    100 TB shape: explode → groupBy(token) with map-side partial aggregation
+    (the count table shuffles at the DISTINCT-token size, not corpus size),
+    then the top-K global sort runs on that small aggregate only. Ties break
+    on the token so the K-boundary is deterministic in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(_VOCAB_TOP_K)
+    )
+
+
+SQL_VOCAB = f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(string_split(LOWER(text), ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT {_VOCAB_TOP_K}
+"""
+
+
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style REPETITION quality filter: duplicate-unigram fraction and
     top-word fraction per document (the 'excessive repetition' gates a
@@ -2995,6 +3030,7 @@ REGISTRY: dict[
     "q_lang_stopwords": (q_lang_stopwords, SQL_LANG),
     "q_lang_bigrams": (q_lang_bigrams, SQL_LANG_BIGRAMS),
     "q_token_count_bpe": (q_token_count_bpe, SQL_TOKENS),
+    "q_vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB),
     "q_repetition_filter": (q_repetition_filter, SQL_REPETITION),
     "q_decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "q_pii_redact": (q_pii_redact, SQL_PII),
