@@ -1135,3 +1135,24 @@ def test_media_payload_strips_only_trailing_codec():
     )
     pay, codec = _media_payload(body, {})
     assert pay == jp and codec == "DCTDecode"
+
+
+def test_fuzz_media_payload_resolution_total():
+    """Payload resolution (media_payloads=True) under mutation must stay
+    TOTAL: any failure inside filter decoding degrades to payload None (or a
+    page/doc-scoped PdfParseError) — never an unexpected exception type."""
+    import random
+    import zlib as _zlib
+
+    from pdf_extract_sys_spark.queries import _serialize_worklist_pdf
+
+    rng = random.Random(20260819)
+    base = _serialize_worklist_pdf(9, LONG1)  # two /DCTDecode image pages
+    for _ in range(120):
+        b = bytearray(base)
+        for _m in range(rng.randrange(1, 12)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            pdf_to_page_records(bytes(b), media_payloads=True)
+        except (PdfParseError, _zlib.error):
+            pass  # expected failure modes; anything else propagates and fails
