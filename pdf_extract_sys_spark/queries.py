@@ -235,7 +235,7 @@ SELECT user_id, rn, event_id, event_type FROM (
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
@@ -259,7 +259,7 @@ FROM documents
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality heuristics: stopword ratio + punctuation ratio + length gates
     (the Gopher/C4-style training-data filters: length, punct, stopword)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = F.split(F.lower(F.col("text")), " ")
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOP)))
     n = F.size(toks)
@@ -291,7 +291,7 @@ FROM documents
 
 def q_lang_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-free language ID heuristic: stopword hit counts per language."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text", "lang"))
     toks = F.split(F.lower(F.col("text")), " ")
 
     def hits(stop):
@@ -332,7 +332,7 @@ def q_lang_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts via length-delta after substring removal (replace is non-overlapping
     left-to-right on both engines — exact cross-engine semantics, unlike regex
     alternation order)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text", "lang"))
     lower = F.lower(F.col("text"))
 
     def hits(bgs: list[str]) -> F.Column:
@@ -378,7 +378,7 @@ _BPE_TOKEN_PAT = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex tokenizer counts (whitespace + word/number/punct classes)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     return docs.select(
         "doc_id",
         F.size(
@@ -408,7 +408,7 @@ def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the count table shuffles at the DISTINCT-token size, not corpus size),
     then the top-K global sort runs on that small aggregate only. Ties break
     on the token so the K-boundary is deterministic in both engines."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("text"))
     toks = F.split(F.lower(F.col("text")), " ")
     return (
         docs.select(F.explode(toks).alias("token"))
@@ -442,7 +442,7 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(distinct x words) and stalls a whole task on a single mega-doc row).
     No explode, no groupBy, no shuffle, no Python. The gate applies BOTH
     repetition metrics (dup-unigram and top-word fractions)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     ws = F.split(F.col("text"), " ")
     n = F.size(ws)
     d = F.size(F.array_distinct(ws))
@@ -523,14 +523,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     join against the exploded corpus n-grams (no shuffle of the 100 TB side;
     the explode is map-side and never materialized); only the per-doc count
     aggregation exchanges, keyed on doc_id."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     ws = F.split(F.col("text"), " ")
     n = F.size(ws)
     bench = docs.filter((F.col("doc_id") % _BENCH_MOD == 0) & (n >= 15)).select(
         F.col("doc_id").alias("bench_id"),
         F.array_join(F.slice(ws, 6, _CONTAM_N), " ").alias("item"),
     )
-    grams = docs.filter(n >= _CONTAM_N).select(
+    grams = _spread(docs).filter(n >= _CONTAM_N).select(
         "doc_id",
         F.explode(
             F.transform(
@@ -585,7 +585,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB form: pure per-row Catalyst regex (JVM codegen, no Python, no
     shuffle); counts come from one regexp_extract_all per class and the
     redaction from three chained regexp_replace."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     did = F.col("doc_id")
     inject = (
         F.when(did % 4 == 0, F.concat(F.lit(" Contact user"), did.cast("string"),
@@ -661,7 +661,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort is the standard Exchange+Sort Spark already does for any window, and
     shard streams stay independent under resharding — repacking after a
     corpus append only touches the appended suffix of each stream."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = F.size(
         F.regexp_extract_all(F.col("text"), F.lit(_BPE_TOKEN_PAT), F.lit(0))
     )
@@ -784,7 +784,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring. The cache is released once the result is materialized (house
     cache-lifecycle contract). Cross products stay in int64 up to ~1.5e9
     bigrams per side; past that, promote the comparison to log-space doubles."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = F.split(F.lower(F.col("text")), " ")
     n = F.size(toks)
     # try_element_at: under Spark 4's default ANSI mode a plain element_at
@@ -904,7 +904,7 @@ FROM c
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-hash groupBy: each group's keeper + multiplicity."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     h = _h56(F.trim(F.lower(F.col("text"))))
     return (
         docs.select(h.alias("content_hash"), "doc_id")
@@ -969,8 +969,14 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact on both engines, 8× less md5 than hashing per (shingle, k).
     The hashed array is materialized in its own projection; CollapseProject keeps
     it (an expensive alias used k times is not inlined), so md5 runs once.
+    The scan gets the _spread parallelism floor first: per-shingle md5 is the
+    cost (~300 md5/doc), so partition count must come from the COMPUTE, not
+    from the dimension-scale input bytes (guide §2/§6 — one small parquet
+    split would otherwise pin the whole hash pass to one core).
     """
-    return _minhash_sigs(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return _minhash_sigs(
+        _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
 
 
 def _sql_minhash_sigs(src: str = "documents") -> str:
@@ -1268,9 +1274,23 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard over near-dup candidates — the verify stage of the
     two-stage dedup pipeline: MinHash-LSH proposes candidate pairs (bounded,
     never all-pairs), then TRUE Jaccard over distinct token-3-gram sets rebinds
-    the estimate. Output: pairs with exact Jaccard ≥ 0.35."""
+    the estimate. Output: pairs with exact Jaccard ≥ 0.35.
+
+    Scale shape: only docs that appear in a candidate pair need trigram sets,
+    so the corpus is pre-filtered with a broadcast SEMI-JOIN on the candidate
+    ids (guide §3.2 — reduce the big side before heavy work; an inner join on
+    doc_a/doc_b keeps exactly those rows anyway, so this is pure plan
+    algebra), after the _spread parallelism floor so trigram construction
+    never serializes on a dimension-scale scan split."""
     cands = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    docs = _t(spark, sf_dir, "documents")
+    ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text")).join(
+        F.broadcast(ids), "doc_id", "left_semi"
+    )
     toks = F.split(F.lower(F.col("text")), " ")
     # try_element_at: ANSI-mode element_at past the array end throws — a
     # 1-2-word doc must yield NULL trigrams (filtered below), not a job abort
@@ -1291,7 +1311,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("tga", "tgb"))
     union = F.size(F.array_union("tga", "tgb"))
     return (
-        cands.join(a, "doc_a").join(b, "doc_b")
+        F.broadcast(cands).join(a, "doc_a").join(b, "doc_b")
         .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.35)
     )
@@ -1443,7 +1463,7 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     set hash returns to Catalyst so md5 semantics never leave the JVM."""
     import pyarrow as pa
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     lower = F.lower(F.col("text"))
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(lower) - 4, F.lit(1))),
@@ -1504,9 +1524,10 @@ _FP_MOD = 32
 def q_fingerprint_modp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting via rolling k-gram hashes: every char-5-gram is
     hashed (same hash-once pipeline as MinHash), and the hashes ≡ 0 (mod 32) are
-    the document's fingerprint set. Shuffle-free pure map; fingerprints of
-    near-identical docs overlap heavily (the MOSS/Manber property)."""
-    docs = _t(spark, sf_dir, "documents")
+    the document's fingerprint set. Pure map (plus the conditional _spread
+    parallelism floor); fingerprints of near-identical docs overlap heavily
+    (the MOSS/Manber property)."""
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     lower = F.lower(F.col("text"))
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(lower) - 4, F.lit(1))),
@@ -1574,7 +1595,7 @@ def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE reuses one Exchange for both. The exploded table is persisted for the
     duration of the self-join only and released after materialization (house
     cache-lifecycle contract)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     ws = F.split(F.lower(F.col("text")), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(ws) - (_SUB_GRAM - 1), F.lit(1))),
@@ -1639,7 +1660,7 @@ _SIMHASH_BITS = 16
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document fingerprint (16-bit) over whitespace tokens."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
     ).withColumn("th", _h56(F.col("tok")))
@@ -1685,22 +1706,30 @@ SQL_SIMHASH = _sql_simhash()
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vectors vec_id < 5 — the exact
-    baseline; LSH/IVF variants bucket first, then run this within buckets."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    baseline; LSH/IVF variants bucket first, then run this within buckets.
+
+    Scale shape: the CANDIDATE side (the whole table) streams and the 5-row
+    query side broadcasts (the r5 shape streamed the 5 queries and broadcast
+    the corpus — every pairwise dot then ran inside ONE task); per-row norms
+    are hoisted out of the pair loop (identical expressions over the same
+    arrays ⇒ identical doubles, computed n times instead of n·q times)."""
+    emb = _spread(_t(spark, sf_dir, "embeddings").select("vec_id", "embedding")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), norm.alias("nq")
     )
-    cand = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    cand = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), norm.alias("nc")
+    )
     dot = F.aggregate(
         F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
-    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x * x))
-    nc = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda acc, x: acc + x * x))
     sims = (
-        q.join(F.broadcast(cand), F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", F.round(dot / (nq * nc), 6).alias("cosine"))
+        cand.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id",
+                F.round(dot / (F.col("nq") * F.col("nc")), 6).alias("cosine"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
@@ -1769,9 +1798,15 @@ def _lsh_sig_udf():
 
 def _emb_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings → (vec_id, v double[], band) with one row per (vector, band):
-    band key = band_index·2^8 + that band's 8 signature bits."""
+    band key = band_index·2^8 + that band's 8 signature bits.
+
+    The _spread parallelism floor precedes the signature projection so the
+    per-batch numpy matmul runs across the cluster, not inside the single
+    dimension-scale scan split."""
     sig = _lsh_sig_udf()
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _spread(
+        _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         sig("embedding").alias("sig"),
@@ -1829,18 +1864,28 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = banded.withColumn("band_n", F.count("*").over(wb)).filter(
         F.col("band_n") <= _ANN_BUCKET_CAP
     )
+    # per-row norms hoisted out of the pair loop (identical expression over
+    # the same array ⇒ identical double); the ≤20-row query side broadcasts so
+    # the candidate side streams on its post-window partitioning
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     q = counted.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "band"
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "band",
+        norm.alias("nq"),
     )
-    cand = counted.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), "band")
+    cand = counted.select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), "band",
+        norm.alias("nc"),
+    )
     dot = F.aggregate(
         F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
-    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x * x))
-    nc = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda acc, x: acc + x * x))
     sims = (
-        q.join(cand, (q["band"] == cand["band"]) & (F.col("q_id") != F.col("c_id")))
-        .select("q_id", "c_id", F.round(dot / (nq * nc), 6).alias("cosine"))
+        cand.join(
+            F.broadcast(q),
+            (q["band"] == cand["band"]) & (F.col("q_id") != F.col("c_id")),
+        )
+        .select("q_id", "c_id",
+                F.round(dot / (F.col("nq") * F.col("nc")), 6).alias("cosine"))
         .distinct()
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
@@ -1890,7 +1935,7 @@ def q_ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cent_rows = (
         emb.filter(F.col("vec_id") < _IVF_K).orderBy("vec_id").select("embedding").collect()
     )
@@ -1906,28 +1951,32 @@ def q_ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         order = np.argsort(d2, axis=1, kind="stable")[:, :_IVF_NPROBE]
         return pd.Series(list(order.astype(np.int64)))
 
-    base = emb.select(
+    # _spread before the assignment projection (the per-batch numpy matmul
+    # must run across the cluster, not in one dimension-scale scan split);
+    # per-row norms hoisted out of the pair loop; the ≤10-row probe side
+    # broadcasts so the candidate side streams without a shuffle
+    base = _spread(emb).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         probe_cells("embedding").alias("cells"),
     )
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     cand = base.select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv"),
-        F.col("cells")[0].alias("cell"),
+        F.col("cells")[0].alias("cell"), norm.alias("nc"),
     )
     q = base.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
-        F.explode("cells").alias("cell"),
+        F.explode("cells").alias("cell"), norm.alias("nq"),
     )
     dot = F.aggregate(
         F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
-    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x * x))
-    nc = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda acc, x: acc + x * x))
     sims = (
-        q.join(cand, ["cell"])
+        cand.join(F.broadcast(q), ["cell"])
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id", F.round(dot / (nq * nc), 6).alias("cosine"))
+        .select("q_id", "c_id",
+                F.round(dot / (F.col("nq") * F.col("nc")), 6).alias("cosine"))
         .distinct()
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
@@ -1984,17 +2033,24 @@ def q_dedup_embedding_cosine(
         .withColumn("band_keeper", F.min("vec_id").over(wb))
         .persist()
     )
+    # per-row norms hoisted out of the pair loop: identical expression over
+    # the same cached array ⇒ identical double, computed once per banded row
+    # instead of once per candidate pair (the dot product stays per-pair)
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     a = counted.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "band", "band_n", "band_keeper"
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "band", "band_n",
+        "band_keeper", norm.alias("na"),
     )
-    b = counted.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("band").alias("band_b"))
+    b = counted.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("band").alias("band_b"), norm.alias("nb"),
+    )
     guard = (F.col("band_n") <= F.lit(bucket_cap)) | (F.col("id_a") == F.col("band_keeper"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
     pairs = (
         a.join(b, (F.col("band") == F.col("band_b")) & (F.col("id_a") < F.col("id_b")) & guard)
-        .select("id_a", "id_b", F.round(dot / (na * nb), 6).alias("cosine"))
+        .select("id_a", "id_b",
+                F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"))
         .filter(F.col("cosine") >= 0.9)
         .distinct()
         .localCheckpoint(eager=True)
@@ -2028,7 +2084,7 @@ SQL_DEDUP_EMB = _sql_dedup_emb()
 
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     blob = F.encode(F.col("text"), "utf-8")
     return docs.select(
         "doc_id",
@@ -2062,10 +2118,12 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     shows up as a value-hash mismatch.
 
     100 TB form: pure map over Arrow batches (the declared binary-codec
-    boundary, same seam as PDF decode) — no shuffle, no driver collect."""
+    boundary, same seam as PDF decode) — no shuffle, no driver collect;
+    the _spread parallelism floor keys the partition count to the per-blob
+    codec COMPUTE rather than the 8-bytes-per-row input."""
     import pyarrow as pa
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def codec(batches):
         import numpy as np
@@ -2171,12 +2229,15 @@ def documents_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .schema import CORPUS_ARROW
 
-    docs = (
+    # _spread before the sanitize projection (not around the final frame):
+    # the regex passes must run after the parallelism-floor exchange, not
+    # map-side in a single dimension-scale scan task
+    docs = _spread(
         _t(spark, sf_dir, "documents")
         .filter(F.length("text") >= _MIN_CHARS)
-        .select(F.col("doc_id").cast("string").alias("doc_id"),
-                _SANITIZE_SPARK(F.col("text")).alias("text"))
-    )
+        .select("doc_id", "text")
+    ).select(F.col("doc_id").cast("string").alias("doc_id"),
+             _SANITIZE_SPARK(F.col("text")).alias("text"))
 
     group_pat = r"((?:[A-Za-z]+ ){%d}[A-Za-z]+)" % (_SENT_WORDS - 1)
 
@@ -2232,7 +2293,7 @@ def documents_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [batch.column("doc_id"), spans], schema=CORPUS_ARROW
             )
 
-    return _spread(docs).mapInArrow(encode, "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+    return docs.mapInArrow(encode, "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
 
 
 def q_extract_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2616,12 +2677,13 @@ def documents_to_pdf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     covering the modern interpreter surface under the driver's oracle
     (r4 VERDICT #6). Binary serialization is per-blob Python inside mapInArrow
     — the declared binary boundary, same as the decode side."""
-    docs = (
+    # _spread before the sanitize projection so the regex passes parallelize
+    docs = _spread(
         _t(spark, sf_dir, "documents")
         .filter(F.length("text") >= _MIN_CHARS)
-        .select(F.col("doc_id").cast("string").alias("doc_id"),
-                _SANITIZE_SPARK(F.col("text")).alias("t"))
-    )
+        .select("doc_id", "text")
+    ).select(F.col("doc_id").cast("string").alias("doc_id"),
+             _SANITIZE_SPARK(F.col("text")).alias("t"))
     group_pat = r"((?:[A-Za-z]+ ){%d}[A-Za-z]+)" % (_SENT_WORDS - 1)
     n_words = F.size(F.split(F.col("t"), " "))
     sent = F.regexp_replace(F.col("t"), group_pat, r"$1.")
@@ -2644,7 +2706,7 @@ def documents_to_pdf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names=["doc_id", "pdf"],
             )
 
-    return _spread(texts).mapInArrow(serialize, "doc_id string, pdf binary")
+    return texts.mapInArrow(serialize, "doc_id string, pdf binary")
 
 
 _WORKLIST_JPEG_CACHE: bytes | None = None
@@ -2715,12 +2777,13 @@ def _serialize_worklist_pdf(doc_id: int, text: str) -> bytes:
 def documents_to_worklist_pdf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pdf) frame of multi-page PDFs with deterministic image-only
     pages — the input for the needs-OCR work-list query."""
-    docs = (
+    # _spread before the sanitize projection so the regex passes parallelize
+    docs = _spread(
         _t(spark, sf_dir, "documents")
         .filter(F.length("text") >= _MIN_CHARS)
-        .select(F.col("doc_id").cast("string").alias("doc_id"),
-                _SANITIZE_SPARK(F.col("text")).alias("sent"))
-    )
+        .select("doc_id", "text")
+    ).select(F.col("doc_id").cast("string").alias("doc_id"),
+             _SANITIZE_SPARK(F.col("text")).alias("sent"))
 
     def serialize(batches):
         import pyarrow as pa
@@ -2738,7 +2801,7 @@ def documents_to_worklist_pdf_binary(spark: SparkSession, sf_dir: str) -> DataFr
                 names=["doc_id", "pdf"],
             )
 
-    return _spread(docs).mapInArrow(serialize, "doc_id string, pdf binary")
+    return docs.mapInArrow(serialize, "doc_id string, pdf binary")
 
 
 def q_needs_ocr_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2959,12 +3022,15 @@ def q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     'DOM text-density boilerplate strip' evidenced at the query level."""
     from .pipeline import extract_corpus
 
-    docs = (
+    # _spread BEFORE the sanitize projection: expressions placed upstream of
+    # the repartition run map-side in the (possibly single) scan task, so the
+    # regex passes must sit after the exchange to parallelize
+    docs = _spread(
         _t(spark, sf_dir, "documents")
         .filter(F.length("text") >= _MIN_CHARS)
-        .select(F.col("doc_id").cast("string").alias("doc_id"),
-                _SANITIZE_SPARK(F.col("text")).alias("t"))
-    )
+        .select("doc_id", "text")
+    ).select(F.col("doc_id").cast("string").alias("doc_id"),
+             _SANITIZE_SPARK(F.col("text")).alias("t"))
     html = F.concat(
         F.lit("<html><head><title>Doc</title><style>p{margin:0}</style></head><body>"
               "<nav><a href='#'>Home</a> <a href='#'>About</a> <a href='#'>Contact</a></nav>"
