@@ -407,8 +407,12 @@ def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: explode → groupBy(token) with map-side partial aggregation
     (the count table shuffles at the DISTINCT-token size, not corpus size),
     then the top-K global sort runs on that small aggregate only. Ties break
-    on the token so the K-boundary is deterministic in both engines."""
-    docs = _spread(_t(spark, sf_dir, "documents").select("text"))
+    on the token so the K-boundary is deterministic in both engines.
+    No _spread here (r6, measured): the explode feeds a map-side partial
+    aggregation in the scan task and only the distinct-token table shuffles;
+    a parallelism-floor exchange of the text column was a net loss at sf1.0
+    (0.56 s → 0.74 s)."""
+    docs = _t(spark, sf_dir, "documents").select("text")
     toks = F.split(F.lower(F.col("text")), " ")
     return (
         docs.select(F.explode(toks).alias("token"))
@@ -661,20 +665,36 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort is the standard Exchange+Sort Spark already does for any window, and
     shard streams stay independent under resharding — repacking after a
     corpus append only touches the appended suffix of each stream."""
-    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    # r6: repartition by the SHARD KEY up front, sized to shuffle.partitions so
+    # the window's required distribution is already satisfied (one exchange
+    # total, reused — guide §2.4) and the tokenizer regex runs AFTER it,
+    # parallel across shards instead of inside the single dimension-scale scan
+    # task. Shard count bounds the regex parallelism and scales with the
+    # cluster by design (_PACK_SHARDS).
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", (F.col("doc_id") % _PACK_SHARDS).alias("shard"), "text")
+        .repartition(nparts, "shard")
+    )
     toks = F.size(
         F.regexp_extract_all(F.col("text"), F.lit(_BPE_TOKEN_PAT), F.lit(0))
     )
     t = docs.select(
         "doc_id",
-        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        "shard",
         toks.cast("long").alias("n_tokens"),
-    ).filter(F.col("n_tokens") > 0)
+    )
     w = Window.partitionBy("shard").orderBy("doc_id")
     # materialize the cumsum ONCE (a single _we slot in the Window node), then
     # derive the span with integer `div` — exact past 2^53 where FLOOR(double)
-    # would round, and floor == div since token starts are non-negative
-    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    # would round, and floor == div since token starts are non-negative.
+    # The n_tokens > 0 filter applies AFTER the window: zero-token rows add 0
+    # to the running sum, so surviving rows' cum values are identical — and a
+    # pre-window filter would be pushed below the repartition as a scan-level
+    # DataFilter, re-running the tokenizer regex inside the single scan task
+    # (observed: the whole point of the shard repartition undone).
+    c = t.withColumn("cum", F.sum("n_tokens").over(w)).filter(F.col("n_tokens") > 0)
     start = F.col("cum") - F.col("n_tokens")
     return c.select(
         "doc_id",
@@ -784,33 +804,24 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring. The cache is released once the result is materialized (house
     cache-lifecycle contract). Cross products stay in int64 up to ~1.5e9
     bigrams per side; past that, promote the comparison to log-space doubles."""
+    # r6 form (guide §4.2): the corpus pass — bigram construction, per-bigram
+    # md5 and the first-level per-(doc, bucket) count — runs as ONE vectorized
+    # Arrow kernel emitting the already-aggregated (doc_id, is_target, h, cnt)
+    # rows (bit-identical md5-derived buckets via kernels.md5np; a doc's rows
+    # never span batches, so per-batch counting IS the per-doc groupBy). This
+    # replaces explode → per-bigram md5+hex-conv → hash-agg over W-1 rows per
+    # doc with a single pass that ships at most _DSIR_BUCKETS rows per doc.
+    from .kernels.shingle import dsir_count_batches
+
     docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    toks = F.split(F.lower(F.col("text")), " ")
-    n = F.size(toks)
-    # try_element_at: under Spark 4's default ANSI mode a plain element_at
-    # past the array end THROWS, so a single-word doc would abort the job
-    # (the DuckDB oracle's ws[i+1] yields NULL); the NULL bigram is filtered
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-        lambda i: F.concat(
-            F.try_element_at(toks, i), F.lit(" "), F.try_element_at(toks, i + 1)
-        ),
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lower(F.col("text")).alias("t"),
     )
-    dh = (
-        docs.select(
-            "doc_id",
-            ((n >= 20) & (n <= 2000)).alias("is_target"),
-            F.explode(F.filter(bigrams, lambda x: x.isNotNull())).alias("b"),
-        )
-        .withColumn(
-            "h",
-            F.conv(F.substring(F.md5(F.col("b")), 1, 8), 16, 10).cast("long")
-            % _DSIR_BUCKETS,
-        )
-        .groupBy("doc_id", "is_target", "h")
-        .agg(F.count("*").alias("cnt"))
-        .persist()
-    )
+    dh = src.mapInArrow(
+        dsir_count_batches(_DSIR_BUCKETS, 20, 2000),
+        "doc_id long, is_target boolean, h long, cnt long",
+    ).persist()
     tbl = dh.groupBy("h").agg(
         F.sum("cnt").alias("c_all"),
         F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0)).alias("c_t"),
@@ -903,8 +914,12 @@ FROM c
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup via content-hash groupBy: each group's keeper + multiplicity."""
-    docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    """Exact dedup via content-hash groupBy: each group's keeper + multiplicity.
+    No _spread here (r6, measured): one md5 per DOC is scan-cheap, the map-side
+    partial aggregation already runs in the scan tasks, and the groupBy
+    exchange parallelizes the rest — a parallelism-floor shuffle of the full
+    text column cost 3x the single-task hash at sf1.0 (0.40 s → 1.13 s)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     h = _h56(F.trim(F.lower(F.col("text"))))
     return (
         docs.select(h.alias("content_hash"), "doc_id")
@@ -934,28 +949,25 @@ def _mh_coeffs(k: int) -> tuple[int, int]:
 
 def _minhash_sigs(df: DataFrame) -> DataFrame:
     """MinHash signatures (k=8) over char-5-gram shingles of any (doc_id, text)
-    frame — shared by the `documents` query and the extract→dedup composition."""
-    lower = F.lower(F.col("text"))
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(lower) - 4, F.lit(1))),
-        lambda i: lower.substr(i, F.lit(5)),
-    )
-    hashed = df.select(
-        "doc_id",
-        F.transform(
-            shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-        ).alias("hs"),
-    )
-    def _perm(a: int, b: int):
-        # closure factory: pyspark HOFs dispatch on lambda arity, so the
-        # single-arg form must not carry captured defaults in its signature
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MH_P)
+    frame — shared by the `documents` query and the extract→dedup composition.
 
-    mins = []
-    for k in range(_MINHASH_K):
-        a, b = _mh_coeffs(k)
-        mins.append(F.array_min(F.transform("hs", _perm(a, b))).alias(f"h{k}"))
-    return hashed.select("doc_id", *mins)
+    r6 form (guide §4.2): lowering stays in Catalyst, then ONE vectorized
+    Arrow kernel hashes every shingle (the same md5-first-32-bits value,
+    computed by kernels.md5np's batch MD5) and folds the k affine-permutation
+    minima in numpy — replacing a per-shingle md5+hex-conv expression chain
+    that allocated a shingle string, a 32-char hex string and a substring per
+    5-gram (~3 µs/shingle of JVM churn vs ~0.3 µs vectorized). Values are
+    bit-identical: same MD5, same exact int64/uint64 arithmetic, non-ASCII
+    rows take a per-row fallback with identical code-point semantics."""
+    from .kernels.shingle import minhash_batches
+
+    coeffs = [_mh_coeffs(k) for k in range(_MINHASH_K)]
+    src = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lower(F.col("text")).alias("t"),
+    )
+    schema = "doc_id long, " + ", ".join(f"h{k} long" for k in range(_MINHASH_K))
+    return src.mapInArrow(minhash_batches(coeffs), schema)
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1426,69 +1438,27 @@ FROM resolved JOIN sized ON resolved.keeper_doc_id = sized.k
 _WINNOW_W = 8
 
 
-def _winnow_mins_batch(hs: "pd.Series", w: int):
-    """Sorted-distinct sliding-window-of-w mins per row, O(n) per doc via the
-    two-pass block prefix/suffix-min method (the vectorized equivalent of the
-    monotonic deque: split into blocks of w, prefix-min L and suffix-min R
-    within blocks, window min at i = min(R[i], L[i+w-1]))."""
-    import numpy as np
-
-    out = []
-    for arr in hs:
-        a = np.asarray(arr, dtype=np.int64)
-        m = len(a)
-        if m <= w:
-            out.append(np.array([a.min()]) if m else np.array([], dtype=np.int64))
-            continue
-        nb = -(-m // w)
-        pad = np.full(nb * w, np.iinfo(np.int64).max, dtype=np.int64)
-        pad[:m] = a
-        blocks = pad.reshape(nb, w)
-        L = np.minimum.accumulate(blocks, axis=1).ravel()
-        R = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
-        k = m - w + 1
-        out.append(np.unique(np.minimum(R[:k], L[w - 1 : w - 1 + k])))
-    return out
-
-
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS algorithm):
     the min k-gram hash of every sliding window of 8 positions, deduped — the
     density-guaranteed refinement of 0-mod-p selection (at least one fingerprint
-    per window). Shuffle-free pure map, split JVM/Arrow at the right seam:
-    shingle hashing stays in Catalyst (hash-once md5, JVM-side, bit-identical
-    to the oracle), the window-min runs at its REAL complexity — O(n) per doc
-    via vectorized block prefix/suffix mins inside mapInArrow (r2 VERDICT #8;
-    the r2 array-slice form was a constant-factor-8 O(n·w)) — and the final
-    set hash returns to Catalyst so md5 semantics never leave the JVM."""
-    import pyarrow as pa
+    per window).
+
+    r6 form (guide §4.2): lowering stays in Catalyst; ONE Arrow kernel both
+    hashes the 5-gram shingles (kernels.md5np batch MD5 — bit-identical
+    values) and computes the O(n) block prefix/suffix window mins, replacing
+    the r5 split of JVM per-shingle md5 + a second Arrow hop that shipped the
+    full hash array across the Python boundary. The final set hash returns to
+    Catalyst (per-doc, cheap). Conditional _spread parallelism floor ahead of
+    the compute."""
+    from .kernels.shingle import winnow_batches
 
     docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    lower = F.lower(F.col("text"))
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(lower) - 4, F.lit(1))),
-        lambda i: lower.substr(i, F.lit(5)),
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lower(F.col("text")).alias("t"),
     )
-    hashed = docs.select(
-        "doc_id",
-        F.transform(
-            shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-        ).alias("hs"),
-    )
-
-    def window_mins(batches):
-        for batch in batches:
-            if not batch.num_rows:
-                continue
-            pdf = batch.to_pandas()
-            fps = _winnow_mins_batch(pdf["hs"], _WINNOW_W)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(pdf["doc_id"], type=batch.schema.field("doc_id").type),
-                 pa.array([f.tolist() for f in fps], type=pa.list_(pa.int64()))],
-                names=["doc_id", "fp"],
-            )
-
-    fp = hashed.mapInArrow(window_mins, "doc_id long, fp array<long>")
+    fp = src.mapInArrow(winnow_batches(_WINNOW_W), "doc_id long, fp array<long>")
     return fp.select(
         "doc_id",
         F.size("fp").alias("n_fingerprints"),
@@ -1526,26 +1496,21 @@ def q_fingerprint_modp(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed (same hash-once pipeline as MinHash), and the hashes ≡ 0 (mod 32) are
     the document's fingerprint set. Pure map (plus the conditional _spread
     parallelism floor); fingerprints of near-identical docs overlap heavily
-    (the MOSS/Manber property)."""
+    (the MOSS/Manber property). r6 form (guide §4.2): the per-shingle
+    md5+hex-conv chain moved into the vectorized Arrow kernel (bit-identical
+    values); the per-doc set hash returns to Catalyst."""
+    from .kernels.shingle import modp_batches
+
     docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    lower = F.lower(F.col("text"))
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(lower) - 4, F.lit(1))),
-        lambda i: lower.substr(i, F.lit(5)),
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lower(F.col("text")).alias("t"),
     )
-    hashed = docs.select(
+    fp = src.mapInArrow(modp_batches(_FP_MOD), "doc_id long, fp array<long>")
+    return fp.select(
         "doc_id",
-        F.transform(
-            shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-        ).alias("hs"),
-    )
-    fp = F.array_sort(
-        F.array_distinct(F.filter("hs", lambda h: h % _FP_MOD == 0))
-    )
-    return hashed.select(
-        "doc_id",
-        F.size(fp).alias("n_fingerprints"),
-        _h56(F.concat_ws(",", fp)).alias("fingerprint_hash"),
+        F.size("fp").alias("n_fingerprints"),
+        _h56(F.concat_ws(",", "fp")).alias("fingerprint_hash"),
     )
 
 
@@ -1594,24 +1559,22 @@ def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     window count and the self-join hash-partition on the SAME key (h), so
     AQE reuses one Exchange for both. The exploded table is persisted for the
     duration of the self-join only and released after materialization (house
-    cache-lifecycle contract)."""
+    cache-lifecycle contract).
+
+    r6 form (guide §4.2): gram construction, per-gram md5 and the 0-mod-p
+    sample + per-doc distinct run as ONE vectorized Arrow kernel emitting the
+    (doc_id, h) fingerprint rows directly (bit-identical md5-derived values
+    via kernels.md5np) — replacing a per-gram array_join + md5+hex-conv
+    expression chain and the explode of the full hash array."""
+    from .kernels.shingle import substring_fp_batches
+
     docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    ws = F.split(F.lower(F.col("text")), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(ws) - (_SUB_GRAM - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(ws, i, _SUB_GRAM), " "),
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lower(F.col("text")).alias("t"),
     )
-    hashed = docs.select(
-        "doc_id",
-        F.transform(
-            grams, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-        ).alias("hs"),
-    )
-    fp = hashed.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.filter("hs", lambda h: h % _SUB_MOD == 0))
-        ).alias("h"),
+    fp = src.mapInArrow(
+        substring_fp_batches(_SUB_GRAM, _SUB_MOD), "doc_id long, h long"
     )
     cold = (
         fp.withColumn("nd", F.count("*").over(Window.partitionBy("h")))
@@ -1800,13 +1763,12 @@ def _emb_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings → (vec_id, v double[], band) with one row per (vector, band):
     band key = band_index·2^8 + that band's 8 signature bits.
 
-    The _spread parallelism floor precedes the signature projection so the
-    per-batch numpy matmul runs across the cluster, not inside the single
-    dimension-scale scan split."""
+    No _spread here (r6, measured): the signature is ONE vectorized numpy
+    matmul per Arrow batch — cheap enough that a parallelism-floor exchange
+    of the vector payload costs more than it saves (ann_lsh 1.06 s vs 1.80 s
+    at sf1.0); the downstream band shuffle parallelizes the pair work."""
     sig = _lsh_sig_udf()
-    emb = _spread(
-        _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ).select(
+    emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         sig("embedding").alias("sig"),
@@ -1865,8 +1827,10 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band_n") <= _ANN_BUCKET_CAP
     )
     # per-row norms hoisted out of the pair loop (identical expression over
-    # the same array ⇒ identical double); the ≤20-row query side broadcasts so
-    # the candidate side streams on its post-window partitioning
+    # the same array ⇒ identical double). The join stays a band-keyed
+    # self-join: both sides reuse ONE window exchange (ReusedExchange);
+    # broadcasting the query side was measured WORSE (the broadcast job
+    # re-computed the signature+window subtree a second time).
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     q = counted.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "band",
@@ -1880,10 +1844,7 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with("qv", "cv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
     sims = (
-        cand.join(
-            F.broadcast(q),
-            (q["band"] == cand["band"]) & (F.col("q_id") != F.col("c_id")),
-        )
+        q.join(cand, (q["band"] == cand["band"]) & (F.col("q_id") != F.col("c_id")))
         .select("q_id", "c_id",
                 F.round(dot / (F.col("nq") * F.col("nc")), 6).alias("cosine"))
         .distinct()
@@ -1951,11 +1912,11 @@ def q_ann_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         order = np.argsort(d2, axis=1, kind="stable")[:, :_IVF_NPROBE]
         return pd.Series(list(order.astype(np.int64)))
 
-    # _spread before the assignment projection (the per-batch numpy matmul
-    # must run across the cluster, not in one dimension-scale scan split);
+    # no _spread (r6, measured: the assignment is one vectorized matmul per
+    # batch — the floor exchange cost more than it saved, 1.00 s vs 1.73 s);
     # per-row norms hoisted out of the pair loop; the ≤10-row probe side
     # broadcasts so the candidate side streams without a shuffle
-    base = _spread(emb).select(
+    base = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         probe_cells("embedding").alias("cells"),
@@ -2022,41 +1983,61 @@ def q_dedup_embedding_cosine(
     """Embedding-cosine near-duplicate pairs, LSH-band-bounded: only pairs sharing
     ≥1 of the 4×256 band buckets are compared; emit pairs with cosine ≥ 0.9.
     Buckets over `bucket_cap` degrade to keeper-representative pairing (linear),
-    mirroring the MinHash hot-band guard — no bucket can go quadratic. The
-    banded cache lives only for the duration of the self-join: the result is
-    localCheckpoint'ed (eager) and the cache unpersisted before returning (r2
-    ADVICE: persist leak)."""
+    mirroring the MinHash hot-band guard — no bucket can go quadratic.
+
+    r6 form (guide §4.2 + §2.4): ONE hash exchange groups each band into a
+    pandas group; the within-band pairwise dots and norms run as vectorized
+    numpy with the SAME left-fold accumulation order as the previous per-pair
+    Catalyst aggregate lambdas (bit-identical IEEE doubles), the hot-band
+    keeper guard applies inside the group, and the ROUND + threshold stay in
+    Catalyst so round() semantics never leave the JVM. Replaces the r5 shape
+    — window-count exchange + band self-join + ~25 µs/pair interpreted HOF
+    fold (the one superlinear-wall query: 1.0 s at sf0.1 but 16.9 s at sf1.0
+    as within-bucket pair counts grow quadratically) — with a single shuffle
+    of the vector payload and BLAS-speed pair math. No cache needed: the
+    banded table is consumed exactly once."""
     banded = _emb_banded(spark, sf_dir)
-    wb = Window.partitionBy("band")
-    counted = (
-        banded.withColumn("band_n", F.count("*").over(wb))
-        .withColumn("band_keeper", F.min("vec_id").over(wb))
-        .persist()
-    )
-    # per-row norms hoisted out of the pair loop: identical expression over
-    # the same cached array ⇒ identical double, computed once per banded row
-    # instead of once per candidate pair (the dot product stays per-pair)
-    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
-    a = counted.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "band", "band_n",
-        "band_keeper", norm.alias("na"),
-    )
-    b = counted.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("band").alias("band_b"), norm.alias("nb"),
-    )
-    guard = (F.col("band_n") <= F.lit(bucket_cap)) | (F.col("id_a") == F.col("band_keeper"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    pairs = (
-        a.join(b, (F.col("band") == F.col("band_b")) & (F.col("id_a") < F.col("id_b")) & guard)
-        .select("id_a", "id_b",
-                F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"))
+
+    def pair_fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "raw": pd.Series(dtype="float64")}
+        )
+        if n < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        m = np.stack(pdf["v"].to_numpy()[order]).astype(np.float64, copy=False)
+        if n > bucket_cap:  # hot band: keeper (min id) pairs with the rest
+            i0 = np.zeros(n - 1, dtype=np.int64)
+            i1 = np.arange(1, n, dtype=np.int64)
+        else:
+            i0, i1 = np.triu_indices(n, 1)
+        # left-fold accumulation in array order — the exact sequence of IEEE
+        # adds the previous zip_with/aggregate lambdas performed
+        dot = np.zeros(len(i0), dtype=np.float64)
+        nrm = np.zeros(n, dtype=np.float64)
+        a, b = m[i0], m[i1]
+        for d in range(m.shape[1]):
+            dot += a[:, d] * b[:, d]
+            nrm += m[:, d] * m[:, d]
+        nrm = np.sqrt(nrm)
+        return pd.DataFrame(
+            {"id_a": ids[i0], "id_b": ids[i1], "raw": dot / (nrm[i0] * nrm[i1])}
+        )
+
+    return (
+        banded.groupBy("band")
+        .applyInPandas(pair_fn, "id_a long, id_b long, raw double")
+        .select("id_a", "id_b", F.round("raw", 6).alias("cosine"))
         .filter(F.col("cosine") >= 0.9)
         .distinct()
         .localCheckpoint(eager=True)
     )
-    counted.unpersist()
-    return pairs
 
 
 def _sql_dedup_emb(bucket_cap: int = _EMB_DEDUP_CAP) -> str:

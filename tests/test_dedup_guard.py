@@ -130,3 +130,56 @@ def test_ngram_jaccard_short_docs_do_not_abort(spark, degenerate_short_dir):
     from pdf_extract_sys_spark.queries import q_ngram_jaccard_pairs
 
     q_ngram_jaccard_pairs(spark, degenerate_short_dir).collect()  # must not raise
+
+
+# ---------------------------------------------------------------------------------
+# round-6 optimization regression: the vectorized within-band pair kernel of
+# q_dedup_embedding_cosine must agree with the DuckDB oracle on a corpus that
+# actually PRODUCES pairs (the driver SFs yield zero rows for this query, which
+# would let a broken rewrite pass trivially)
+# ---------------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def neardup_emb_dir(tmp_path_factory):
+    """20 base vectors, each followed by 9 slightly-perturbed near-duplicates
+    (cosine > 0.9 within a family, < 0.9 across) — non-trivial float math."""
+    import random
+
+    import numpy as np
+
+    d = tmp_path_factory.mktemp("neardup_emb")
+    rng = random.Random(20260822)
+    base = [[rng.uniform(-1.0, 1.0) for _ in range(64)] for _ in range(20)]
+    vecs = []
+    for i in range(200):
+        v = list(base[i % 20])
+        if i >= 20:
+            for _ in range(3):
+                j = rng.randrange(64)
+                v[j] += rng.uniform(-0.08, 0.08)
+        vecs.append(np.asarray(v, dtype=np.float32))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, d / "embeddings.parquet")
+    return str(d)
+
+
+def test_dedup_embedding_cosine_matches_oracle_nonzero(spark, neardup_emb_dir):
+    from pdf_extract_sys_spark.queries import SQL_DEDUP_EMB, q_dedup_embedding_cosine
+
+    srows = q_dedup_embedding_cosine(spark, neardup_emb_dir).collect()
+    assert len(srows) > 100  # the families really produce pairs
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{neardup_emb_dir}/embeddings.parquet')"
+    )
+    orows = con.sql(SQL_DEDUP_EMB).fetchall()
+    assert sorted((r["id_a"], r["id_b"], r["cosine"]) for r in srows) == sorted(
+        (r[0], r[1], r[2]) for r in orows
+    )

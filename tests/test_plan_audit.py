@@ -83,16 +83,20 @@ def test_no_per_row_python_in_any_registry_query(spark):
 
 
 def test_minhash_signatures_plan_is_pure_map(spark):
-    """Hash-once + shuffle-free BY KEY: exactly one md5 in the plan, and the
-    only Exchange permitted is the conditional round-robin _spread parallelism
-    floor (r6: per-shingle hashing is compute-bound, so partition count must
-    come from the compute, not the dimension-scale input bytes — guide §2/§6).
+    """Hash-once + shuffle-free BY KEY: the shingle hashing runs inside ONE
+    vectorized Arrow kernel (r6, guide §4.2 — no JVM-side md5 left in the
+    plan, exactly one MapInArrow, never BatchEvalPython), and the only
+    Exchange permitted is the conditional round-robin _spread parallelism
+    floor (per-shingle hashing is compute-bound, so partition count must come
+    from the compute, not the dimension-scale input bytes — guide §2/§6).
     The signature computation itself never shuffles rows by key: no
     hash/range partitioning anywhere."""
     from pdf_extract_sys_spark.queries import q_minhash_signatures
 
     plan = plan_of(q_minhash_signatures(spark, SF))
-    assert plan.count("md5") == 1, plan
+    assert "md5" not in plan, plan
+    assert plan.count("MapInArrow") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert all("RoundRobinPartitioning" in ln for ln in exchanges), plan
     assert len(exchanges) <= 1, plan
