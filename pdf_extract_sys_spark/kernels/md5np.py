@@ -114,6 +114,100 @@ def md5_first32_long(data: bytes) -> int:
     return int(hashlib.md5(data).hexdigest()[:8], 16)
 
 
+# ---------------------------------------------------------------------------------
+# sliding fixed-length-5 fast path (char-5-gram shingles)
+# ---------------------------------------------------------------------------------
+#
+# For 5-byte messages only two message words are ever nonzero — word 0 (bytes
+# 0-3), word 1 (byte 4 | 0x80 padding) — plus the constant length word 14
+# (5*8 = 40). The generic path above builds an (n, 64) padded byte matrix
+# (~0.5 KB of memory traffic per 5-byte message before hashing starts); this
+# path builds just TWO uint32 arrays from sliding views of the batch buffer
+# and folds every zero/constant word into the per-round additive constant.
+# Work runs in L2-sized chunks with explicit `out=` buffers so the 64-round
+# loop touches ~10 cache-resident arrays instead of allocating ~256 chunk-
+# sized temporaries — on a memory-bandwidth-saturated many-core host this is
+# the difference between scaling and bus contention (guide §2.2 logic applied
+# to RAM). Values are bit-identical to the generic path (same MD5).
+
+_SLIDE_CHUNK = 16384
+# per-round additive constant: K[i] plus the fixed length word (40) when the
+# round's message index is 14; words 2-13 and 15 are zero for 5-byte messages
+_KW5 = [
+    (int(_K[i]) + (40 if _G[i] == 14 else 0)) & 0xFFFFFFFF for i in range(64)
+]
+# which live word (0 or 1) the round consumes, None when it consumes a zero
+_USE5 = [_G[i] if _G[i] in (0, 1) else None for i in range(64)]
+
+
+def _compress5(w0: np.ndarray, w1: np.ndarray, out: np.ndarray) -> None:
+    """64 MD5 rounds for single-block 5-byte messages given words 0/1; writes
+    the big-endian first digest word into ``out`` (uint32). All arithmetic is
+    in-place over six chunk-sized uint32 buffers (2 scratch + 4 state)."""
+    n = len(w0)
+    a = np.full(n, _INIT[0], dtype=np.uint32)
+    b = np.full(n, _INIT[1], dtype=np.uint32)
+    c = np.full(n, _INIT[2], dtype=np.uint32)
+    d = np.full(n, _INIT[3], dtype=np.uint32)
+    s1 = np.empty(n, dtype=np.uint32)
+    s2 = np.empty(n, dtype=np.uint32)
+    for i in range(64):
+        # f into s1 (minimal-op forms of the four round functions)
+        if i < 16:  # (b&c)|(~b&d) == d ^ (b & (c^d))
+            np.bitwise_xor(c, d, out=s1)
+            np.bitwise_and(s1, b, out=s1)
+            np.bitwise_xor(s1, d, out=s1)
+        elif i < 32:  # (d&b)|(~d&c) == c ^ (d & (b^c))
+            np.bitwise_xor(b, c, out=s1)
+            np.bitwise_and(s1, d, out=s1)
+            np.bitwise_xor(s1, c, out=s1)
+        elif i < 48:  # b^c^d
+            np.bitwise_xor(b, c, out=s1)
+            np.bitwise_xor(s1, d, out=s1)
+        else:  # c ^ (b|~d)
+            np.bitwise_not(d, out=s1)
+            np.bitwise_or(s1, b, out=s1)
+            np.bitwise_xor(s1, c, out=s1)
+        # tmp = f + a + K' (+ live word)
+        np.add(s1, a, out=s1)
+        np.add(s1, np.uint32(_KW5[i]), out=s1)
+        u = _USE5[i]
+        if u == 0:
+            np.add(s1, w0, out=s1)
+        elif u == 1:
+            np.add(s1, w1, out=s1)
+        # rotate left by S[i]
+        s = _S[i]
+        np.left_shift(s1, np.uint32(s), out=s2)
+        np.right_shift(s1, np.uint32(32 - s), out=s1)
+        np.bitwise_or(s1, s2, out=s1)
+        # new b = b + rot(tmp), written into a's (now free) buffer
+        np.add(b, s1, out=a)
+        a, b, c, d = d, a, b, c
+    np.add(a, np.uint32(_INIT[0]), out=out)
+
+
+def md5_first32_slide5(buf: np.ndarray) -> np.ndarray:
+    """h[i] = first-32-bits-of-MD5 of ``buf[i:i+5]`` for every sliding window
+    position i in 0..len(buf)-5, as non-negative int64 (the engine-wide
+    conv(substr(md5(x),1,8),16,10) convention). Requires len(buf) >= 5."""
+    n = len(buf) - 4
+    out = np.empty(n, dtype=np.uint32)
+    with np.errstate(over="ignore"):  # modular uint32 arithmetic by design
+        for c0 in range(0, n, _SLIDE_CHUNK):
+            c1 = min(c0 + _SLIDE_CHUNK, n)
+            m = c1 - c0
+            b = buf[c0 : c1 + 4]
+            w0 = b[0:m].astype(np.uint32)
+            np.bitwise_or(w0, b[1 : m + 1].astype(np.uint32) << np.uint32(8), out=w0)
+            np.bitwise_or(w0, b[2 : m + 2].astype(np.uint32) << np.uint32(16), out=w0)
+            np.bitwise_or(w0, b[3 : m + 3].astype(np.uint32) << np.uint32(24), out=w0)
+            w1 = b[4 : m + 4].astype(np.uint32)
+            np.bitwise_or(w1, np.uint32(0x8000), out=w1)
+            _compress5(w0, w1, out[c0:c1])
+    return out.byteswap().astype(np.int64)
+
+
 def md5_first32_concat(chunks: "list[bytes]") -> np.ndarray:
     """Convenience: hash a python list of byte strings (any lengths).
     Vectorizes the <=119-byte ones, falls back per element beyond."""

@@ -24,9 +24,18 @@ from __future__ import annotations
 
 import numpy as np
 
-from .md5np import md5_first32_long, md5_first32_var
+from .md5np import md5_first32_long, md5_first32_slide5, md5_first32_var
 
 _MH_P = (1 << 61) - 1
+_MH_P64 = np.uint64(_MH_P)
+
+
+def _mod_m61(x: np.ndarray) -> np.ndarray:
+    """x % (2^61-1) for uint64 x < 2^62, via Mersenne fold (one shift + one
+    conditional subtract — no integer division). Bit-identical to ``%``:
+    x = q·2^61 + r with q ∈ {0,1}, so x mod p = (r + q) mod p and r + q ≤ p."""
+    r = (x & _MH_P64) + (x >> np.uint64(61))
+    return np.where(r >= _MH_P64, r - _MH_P64, r)
 
 
 def _string_parts(arr):
@@ -58,28 +67,6 @@ def _ascii_rows(buf: np.ndarray, offs: np.ndarray) -> np.ndarray:
     return (hi[offs[1:]] - hi[offs[:-1]]) == 0
 
 
-def _shingle5_spans(offs: np.ndarray, rows: np.ndarray):
-    """Per selected row: char-5-gram byte spans. Returns (starts, lens,
-    counts) where counts[j] is row j's shingle count (>=1)."""
-    o = offs[rows]
-    ln = offs[rows + 1] - o
-    counts = np.where(ln >= 5, ln - 4, 1)
-    total = int(counts.sum())
-    seg0 = np.zeros(len(rows) + 1, dtype=np.int64)
-    np.cumsum(counts, out=seg0[1:])
-    within = np.arange(total, dtype=np.int64) - np.repeat(seg0[:-1], counts)
-    starts = np.repeat(o, counts) + within
-    lens = np.minimum(np.repeat(ln, counts) - within, 5)
-    return starts, lens, counts
-
-
-def _hash5_ascii(buf, offs, rows):
-    """All char-5-gram hashes for the given ASCII rows, row-major, plus the
-    per-row counts."""
-    starts, lens, counts = _shingle5_spans(offs, rows)
-    return md5_first32_var(buf, starts, lens), counts
-
-
 def _hash5_fallback(text: str) -> np.ndarray:
     n = max(len(text) - 4, 1)
     return np.fromiter(
@@ -89,21 +76,109 @@ def _hash5_fallback(text: str) -> np.ndarray:
     )
 
 
+class _Shingle5:
+    """Flat sliding-hash view of one (doc_id, t) batch (guide §4.2): ONE
+    sliding-window MD5 pass over the batch's contiguous string buffer computes
+    every char-5-gram hash — valid positions for ASCII row r are
+    ``h[offs[r] : offs[r+1]-4]`` (views, no per-row copies); window positions
+    that straddle row boundaries are simply never selected. Rows shorter than
+    5 chars hash their whole text (one shingle, vectorized across rows);
+    non-ASCII rows take the per-row code-point fallback with identical
+    semantics. Downstream kernels consume the FLAT array with segment
+    arithmetic (reduceat / masks) instead of per-row Python loops."""
+
+    __slots__ = ("buf", "offs", "nrows", "ln", "ascii_ok", "h",
+                 "long_rows", "short_rows", "fb_rows", "short_h", "fb_h")
+
+    def __init__(self, batch_t):
+        self.buf, self.offs = _string_parts(batch_t)
+        if len(self.offs) and (self.offs[0] != 0 or self.offs[-1] != len(self.buf)):
+            # sliced array (shared values buffer): rebase so the sliding pass
+            # hashes exactly this batch's bytes, not the whole parent buffer
+            self.buf = self.buf[self.offs[0] : self.offs[-1]]
+            self.offs = self.offs - self.offs[0]
+        self.nrows = len(self.offs) - 1
+        self.ln = self.offs[1:] - self.offs[:-1]
+        self.ascii_ok = _ascii_rows(self.buf, self.offs)
+        long_mask = self.ascii_ok & (self.ln >= 5)
+        self.long_rows = np.nonzero(long_mask)[0]
+        self.short_rows = np.nonzero(self.ascii_ok & (self.ln < 5))[0]
+        self.fb_rows = np.nonzero(~self.ascii_ok)[0]
+        self.h = (
+            md5_first32_slide5(self.buf)
+            if self.long_rows.size and len(self.buf) >= 5
+            else np.empty(0, dtype=np.int64)
+        )
+        self.short_h = md5_first32_var(
+            self.buf, self.offs[self.short_rows], self.ln[self.short_rows]
+        )
+        self.fb_h = [
+            _hash5_fallback(batch_t[r].as_py()) for r in self.fb_rows
+        ]
+
+    def valid_bounds(self):
+        """(starts, ends) of the valid flat-hash span per long row."""
+        return self.offs[self.long_rows], self.offs[self.long_rows + 1] - 4
+
+    def reduceat_min(self, v: np.ndarray) -> np.ndarray:
+        """Per-long-row min over v's valid spans (v aligned with self.h),
+        via one interleaved reduceat — no per-row loop."""
+        starts, ends = self.valid_bounds()
+        segs = np.empty(2 * len(starts), dtype=np.int64)
+        segs[0::2] = starts
+        segs[1::2] = ends
+        idx = segs[:-1] if len(segs) and segs[-1] >= len(v) else segs
+        red = np.minimum.reduceat(v, idx)
+        return red[0::2][: len(starts)]
+
+    def valid_mask(self) -> np.ndarray:
+        """Bool over the flat hash array: position belongs to a long row's
+        valid span (built from boundary deltas, no per-row loop)."""
+        dm = np.zeros(len(self.h) + 1, dtype=np.int32)
+        starts, ends = self.valid_bounds()
+        np.add.at(dm, starts, 1)
+        np.add.at(dm, ends, -1)
+        return np.cumsum(dm[:-1]) > 0
+
+    def row_of(self, flat_pos: np.ndarray) -> np.ndarray:
+        """Row index of each flat hash position (positions must be valid)."""
+        return np.searchsorted(self.offs, flat_pos, side="right") - 1
+
+
+def _rows_vals_to_list_array(rows, vals, nrows):
+    """(row_id, value) pairs → Arrow list<int64> column of per-row
+    SORTED-DISTINCT values, one lexsort + run-length dedupe (no np.unique per
+    row, no Python list-of-arrays)."""
+    import pyarrow as pa
+
+    order = np.lexsort((vals, rows))
+    rs, vs = rows[order], vals[order]
+    if len(rs):
+        keep = np.empty(len(rs), dtype=bool)
+        keep[0] = True
+        np.not_equal(rs[1:], rs[:-1], out=keep[1:])
+        keep[1:] |= vs[1:] != vs[:-1]
+        rs, vs = rs[keep], vs[keep]
+    counts = np.bincount(rs, minlength=nrows) if len(rs) else np.zeros(nrows, np.int64)
+    offsets = np.zeros(nrows + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()).cast(pa.int32()),
+        pa.array(vs, type=pa.int64()),
+    )
+
+
 def _per_row_hash5(batch_t):
-    """list of per-row int64 hash arrays (ASCII vectorized, fallback exact)."""
-    buf, offs = _string_parts(batch_t)
-    n = len(offs) - 1
-    ascii_ok = _ascii_rows(buf, offs)
-    out: list = [None] * n
-    rows = np.nonzero(ascii_ok)[0]
-    if rows.size:
-        h, counts = _hash5_ascii(buf, offs, rows)
-        bounds = np.zeros(len(rows) + 1, dtype=np.int64)
-        np.cumsum(counts, out=bounds[1:])
-        for j, r in enumerate(rows):
-            out[r] = h[bounds[j] : bounds[j + 1]]
-    for r in np.nonzero(~ascii_ok)[0]:
-        out[r] = _hash5_fallback(batch_t[r].as_py())
+    """list of per-row int64 hash arrays (ASCII vectorized, fallback exact).
+    Compatibility/test surface — the hot kernels consume _Shingle5 flat."""
+    sh = _Shingle5(batch_t)
+    out: list = [None] * sh.nrows
+    for r in sh.long_rows:
+        out[r] = sh.h[sh.offs[r] : sh.offs[r + 1] - 4]
+    for j, r in enumerate(sh.short_rows):
+        out[r] = sh.short_h[j : j + 1]
+    for j, r in enumerate(sh.fb_rows):
+        out[r] = sh.fb_h[j]
     return out
 
 
@@ -118,7 +193,9 @@ def _token_bounds(buf: np.ndarray, o: int, ln: int):
 
 def minhash_batches(coeffs):
     """mapInArrow factory: (doc_id, t) -> (doc_id, h0..h7) minhash signatures.
-    coeffs: list of (a, b) affine permutation coefficients."""
+    coeffs: list of (a, b) affine permutation coefficients. Per-permutation
+    minima come from ONE interleaved reduceat over the flat sliding-hash
+    array; the 2^61-1 modulus is a Mersenne fold (no division)."""
     import pyarrow as pa
 
     k = len(coeffs)
@@ -127,52 +204,106 @@ def minhash_batches(coeffs):
         for batch in batches:
             if not batch.num_rows:
                 continue
-            hs = _per_row_hash5(batch.column(1))
-            counts = np.fromiter((len(h) for h in hs), dtype=np.int64, count=len(hs))
-            big = np.concatenate(hs).astype(np.uint64)
-            seg = np.zeros(len(hs), dtype=np.int64)
-            np.cumsum(counts[:-1], out=seg[1:])
-            cols = [batch.column(0)]
-            for a, b in coeffs:
-                v = (np.uint64(a) * big + np.uint64(b)) % np.uint64(_MH_P)
-                mins = np.minimum.reduceat(v, seg).astype(np.int64)
-                cols.append(pa.array(mins, type=pa.int64()))
+            sh = _Shingle5(batch.column(1))
+            cols_np = [np.empty(sh.nrows, dtype=np.int64) for _ in range(k)]
+            h64 = sh.h.astype(np.uint64) if sh.long_rows.size else None
+            short64 = sh.short_h.astype(np.uint64)
+            for kk, (a, b) in enumerate(coeffs):
+                a64, b64 = np.uint64(a), np.uint64(b)
+                if h64 is not None:
+                    v = _mod_m61(a64 * h64 + b64)
+                    cols_np[kk][sh.long_rows] = sh.reduceat_min(v).astype(np.int64)
+                if sh.short_rows.size:
+                    cols_np[kk][sh.short_rows] = _mod_m61(
+                        a64 * short64 + b64
+                    ).astype(np.int64)
+                for j, r in enumerate(sh.fb_rows):
+                    hs = sh.fb_h[j].astype(np.uint64)
+                    cols_np[kk][r] = int(((a64 * hs + b64) % _MH_P64).min())
             yield pa.RecordBatch.from_arrays(
-                cols, names=["doc_id"] + [f"h{i}" for i in range(k)]
+                [batch.column(0)] + [pa.array(c, type=pa.int64()) for c in cols_np],
+                names=["doc_id"] + [f"h{i}" for i in range(k)],
             )
 
     return fn
 
 
-def _window_mins(a: np.ndarray, w: int) -> np.ndarray:
-    """Sorted-distinct sliding-window-of-w mins, O(n) via block prefix/suffix
-    mins (the vectorized monotonic-deque equivalent)."""
+def _sliding_min_flat(a: np.ndarray, w: int) -> np.ndarray:
+    """min(a[p:p+w]) for every window start p — O(n) block prefix/suffix mins
+    over the whole flat array (no per-row calls)."""
     m = len(a)
-    if m <= w:
-        return np.array([a.min()]) if m else np.array([], dtype=np.int64)
+    kk = m - w + 1
+    if kk <= 0:
+        return np.empty(0, dtype=np.int64)
     nb = -(-m // w)
     pad = np.full(nb * w, np.iinfo(np.int64).max, dtype=np.int64)
     pad[:m] = a
     blocks = pad.reshape(nb, w)
     lmin = np.minimum.accumulate(blocks, axis=1).ravel()
     rmin = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].ravel()
-    kk = m - w + 1
-    return np.unique(np.minimum(rmin[:kk], lmin[w - 1 : w - 1 + kk]))
+    return np.minimum(rmin[:kk], lmin[w - 1 : w - 1 + kk])
+
+
+def _window_mins(a: np.ndarray, w: int) -> np.ndarray:
+    """Sorted-distinct sliding-window-of-w mins (per-row reference/fallback)."""
+    m = len(a)
+    if m <= w:
+        return np.array([a.min()]) if m else np.array([], dtype=np.int64)
+    return np.unique(_sliding_min_flat(a, w))
 
 
 def winnow_batches(w: int):
     """mapInArrow factory: (doc_id, t) -> (doc_id, fp array<long>) winnowing
-    fingerprints (min 5-gram hash per sliding window of w, sorted-distinct)."""
+    fingerprints (min 5-gram hash per sliding window of w, sorted-distinct).
+    Window mins run ONCE over the whole flat hash array (windows that straddle
+    row boundaries are excluded by the per-row start range, never computed
+    into a result); per-row sorted-distinct is one lexsort + run-length
+    dedupe."""
     import pyarrow as pa
 
     def fn(batches):
         for batch in batches:
             if not batch.num_rows:
                 continue
-            hs = _per_row_hash5(batch.column(1))
-            fps = [_window_mins(np.asarray(h, dtype=np.int64), w) for h in hs]
+            sh = _Shingle5(batch.column(1))
+            rows_parts: list = []
+            vals_parts: list = []
+            if sh.long_rows.size:
+                starts, ends = sh.valid_bounds()
+                m = ends - starts  # valid hash count per long row (>= 1)
+                big = m > w
+                if big.any():
+                    gw = _sliding_min_flat(sh.h, w)
+                    bs, bc = starts[big], (m[big] - w + 1)
+                    seg = np.zeros(len(bc) + 1, dtype=np.int64)
+                    np.cumsum(bc, out=seg[1:])
+                    within = np.arange(seg[-1], dtype=np.int64) - np.repeat(
+                        seg[:-1], bc
+                    )
+                    pos = np.repeat(bs, bc) + within
+                    rows_parts.append(np.repeat(sh.long_rows[big], bc))
+                    vals_parts.append(gw[pos])
+                small = ~big
+                if small.any():
+                    # whole-row min for rows with <= w hashes
+                    segs = np.empty(2 * int(small.sum()), dtype=np.int64)
+                    segs[0::2] = starts[small]
+                    segs[1::2] = ends[small]
+                    idx = segs[:-1] if segs[-1] >= len(sh.h) else segs
+                    red = np.minimum.reduceat(sh.h, idx)
+                    rows_parts.append(sh.long_rows[small])
+                    vals_parts.append(red[0::2][: int(small.sum())])
+            if sh.short_rows.size:
+                rows_parts.append(sh.short_rows)
+                vals_parts.append(sh.short_h)
+            for j, r in enumerate(sh.fb_rows):
+                fp = _window_mins(sh.fb_h[j], w)
+                rows_parts.append(np.full(len(fp), r, dtype=np.int64))
+                vals_parts.append(fp)
+            rows = np.concatenate(rows_parts) if rows_parts else np.empty(0, np.int64)
+            vals = np.concatenate(vals_parts) if vals_parts else np.empty(0, np.int64)
             yield pa.RecordBatch.from_arrays(
-                [batch.column(0), pa.array(fps, type=pa.list_(pa.int64()))],
+                [batch.column(0), _rows_vals_to_list_array(rows, vals, sh.nrows)],
                 names=["doc_id", "fp"],
             )
 
@@ -181,43 +312,90 @@ def winnow_batches(w: int):
 
 def modp_batches(mod: int):
     """mapInArrow factory: (doc_id, t) -> (doc_id, fp array<long>) — the
-    sorted-distinct 5-gram hashes that are 0 mod ``mod``."""
+    sorted-distinct 5-gram hashes that are 0 mod ``mod``. One mask over the
+    flat sliding-hash array selects sampled positions; row attribution is a
+    searchsorted over the (few) survivors."""
     import pyarrow as pa
 
     def fn(batches):
         for batch in batches:
             if not batch.num_rows:
                 continue
-            hs = _per_row_hash5(batch.column(1))
-            fps = [np.unique(h[h % mod == 0]) for h in hs]
+            sh = _Shingle5(batch.column(1))
+            rows_parts: list = []
+            vals_parts: list = []
+            if sh.long_rows.size:
+                sel = np.nonzero(sh.valid_mask() & (sh.h % mod == 0))[0]
+                rows_parts.append(sh.row_of(sel))
+                vals_parts.append(sh.h[sel])
+            if sh.short_rows.size:
+                keep = sh.short_h % mod == 0
+                rows_parts.append(sh.short_rows[keep])
+                vals_parts.append(sh.short_h[keep])
+            for j, r in enumerate(sh.fb_rows):
+                fp = sh.fb_h[j][sh.fb_h[j] % mod == 0]
+                rows_parts.append(np.full(len(fp), r, dtype=np.int64))
+                vals_parts.append(fp)
+            rows = np.concatenate(rows_parts) if rows_parts else np.empty(0, np.int64)
+            vals = np.concatenate(vals_parts) if vals_parts else np.empty(0, np.int64)
             yield pa.RecordBatch.from_arrays(
-                [batch.column(0), pa.array(fps, type=pa.list_(pa.int64()))],
+                [batch.column(0), _rows_vals_to_list_array(rows, vals, sh.nrows)],
                 names=["doc_id", "fp"],
             )
 
     return fn
 
 
+def _flat_within(counts: np.ndarray):
+    """(total, seg, within): segment cumsum boundaries and the 0-based offset
+    of each flat element inside its segment — the standard vectorized-explode
+    index arithmetic."""
+    seg = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=seg[1:])
+    total = int(seg[-1])
+    within = np.arange(total, dtype=np.int64) - np.repeat(seg[:-1], counts)
+    return total, seg, within
+
+
 def _ngram_spans_ascii(buf, offs, rows, gram: int):
     """Word-n-gram byte spans for ASCII rows (joined with the original single
-    spaces): per row max(n_tok - gram + 1, 1) grams; rows-major flat arrays
-    plus per-row counts."""
-    starts_all, lens_all, counts = [], [], np.empty(len(rows), dtype=np.int64)
-    for j, r in enumerate(rows):
-        o = offs[r]
-        ln = offs[r + 1] - o
-        ts, te = _token_bounds(buf, o, ln)
-        ntok = len(ts)
-        g = max(ntok - gram + 1, 1)
-        idx = np.arange(g, dtype=np.int64)
-        st = ts[idx]
-        en = te[np.minimum(idx + gram - 1, ntok - 1)]
-        starts_all.append(st + o)
-        lens_all.append(en - st)
-        counts[j] = g
-    if starts_all:
-        return np.concatenate(starts_all), np.concatenate(lens_all), counts
-    return np.zeros(0, np.int64), np.zeros(0, np.int64), counts
+    spaces — a word-n-gram IS a contiguous byte span of the row): per row
+    max(n_tok - gram + 1, 1) grams; rows-major flat arrays plus per-row
+    counts. Fully vectorized: token bounds for the whole batch come from one
+    space scan + segment arithmetic, no per-row Python."""
+    nsel = len(rows)
+    counts = np.empty(nsel, dtype=np.int64)
+    if nsel == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), counts
+    sp_all = np.nonzero(buf == 0x20)[0]
+    if nsel == len(offs) - 1:
+        sp = sp_all  # every row selected — no filtering needed
+    else:
+        rowmask = np.zeros(len(offs) - 1, dtype=bool)
+        rowmask[rows] = True
+        sp = sp_all[rowmask[np.searchsorted(offs, sp_all, side="right") - 1]]
+    # spaces per selected row via cumulative space counts at row bounds
+    csp = np.zeros(len(buf) + 1, dtype=np.int64)
+    np.cumsum(buf == 0x20, out=csp[1:])
+    nsp = csp[offs[rows + 1]] - csp[offs[rows]]
+    ntok = nsp + 1
+    # flat token starts/ends (global byte positions), grouped by selected row
+    ntoks_total, tseg, _ = _flat_within(ntok)
+    tok_starts = np.empty(ntoks_total, dtype=np.int64)
+    tok_ends = np.empty(ntoks_total, dtype=np.int64)
+    tok_starts[tseg[:-1]] = offs[rows]
+    tok_ends[tseg[1:] - 1] = offs[rows + 1]
+    if len(sp):
+        _, spseg, sp_within = _flat_within(nsp)
+        tok_starts[np.repeat(tseg[:-1], nsp) + sp_within + 1] = sp + 1
+        tok_ends[np.repeat(tseg[:-1], nsp) + sp_within] = sp
+    # gram spans: start of token t, end of token min(t+gram-1, ntok-1)
+    np.maximum(ntok - gram + 1, 1, out=counts)
+    _, gseg, gwithin = _flat_within(counts)
+    base = np.repeat(tseg[:-1], counts)
+    st = tok_starts[base + gwithin]
+    en = tok_ends[base + np.minimum(gwithin + gram - 1, np.repeat(ntok - 1, counts))]
+    return st, en - st, counts
 
 
 def _hash_spans(buf, starts, lens):
@@ -245,22 +423,53 @@ def _ngram_hashes_fallback(text: str, gram: int) -> np.ndarray:
     )
 
 
-def _per_row_ngram_hashes(batch_t, gram: int):
-    """list of per-row int64 hash arrays of word-n-grams (row order kept)."""
+def _ngram_parts(batch_t, gram: int):
+    """Flat word-n-gram hashes of one batch: (h_flat, row_ids, ntok_all,
+    nrows) — ASCII rows vectorized through one space scan + span hashing,
+    non-ASCII rows appended via the exact per-row fallback. ``row_ids`` is
+    flat-aligned with ``h_flat``; ``ntok_all`` is the per-row token count
+    (all rows, single-space split semantics)."""
     buf, offs = _string_parts(batch_t)
-    n = len(offs) - 1
+    if len(offs) and (offs[0] != 0 or offs[-1] != len(buf)):
+        buf = buf[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+    nrows = len(offs) - 1
     ascii_ok = _ascii_rows(buf, offs)
-    out: list = [None] * n
+    ntok_all = _ascii_spaces(buf, offs) + 1  # 0x20 never inside UTF-8 multibyte
     rows = np.nonzero(ascii_ok)[0]
+    h_parts: list = []
+    row_parts: list = []
     if rows.size:
         starts, lens, counts = _ngram_spans_ascii(buf, offs, rows, gram)
-        h = _hash_spans(buf, starts, lens)
-        bounds = np.zeros(len(rows) + 1, dtype=np.int64)
-        np.cumsum(counts, out=bounds[1:])
-        for j, r in enumerate(rows):
-            out[r] = h[bounds[j] : bounds[j + 1]]
+        h_parts.append(_hash_spans(buf, starts, lens))
+        row_parts.append(np.repeat(rows, counts))
     for r in np.nonzero(~ascii_ok)[0]:
-        out[r] = _ngram_hashes_fallback(batch_t[r].as_py(), gram)
+        fh = _ngram_hashes_fallback(batch_t[r].as_py(), gram)
+        h_parts.append(fh)
+        row_parts.append(np.full(len(fh), r, dtype=np.int64))
+    h_flat = np.concatenate(h_parts) if h_parts else np.empty(0, np.int64)
+    row_ids = np.concatenate(row_parts) if row_parts else np.empty(0, np.int64)
+    return h_flat, row_ids, ntok_all, nrows
+
+
+def _per_row_ngram_hashes(batch_t, gram: int):
+    """list of per-row int64 hash arrays of word-n-grams (row order kept).
+    Compatibility/test surface — hot kernels consume _ngram_parts flat."""
+    h_flat, row_ids, _ntok, nrows = _ngram_parts(batch_t, gram)
+    out: list = [None] * nrows
+    # row_ids is NOT globally sorted (fallback rows append after ASCII rows),
+    # but each row's hashes are contiguous and in order — stable-split works
+    order = np.argsort(row_ids, kind="stable")
+    rs = row_ids[order]
+    bounds = np.nonzero(np.diff(rs))[0] + 1
+    for r, chunk in zip(
+        rs[np.concatenate(([0], bounds))] if len(rs) else [],
+        np.split(h_flat[order], bounds),
+    ):
+        out[int(r)] = chunk
+    for r in range(nrows):
+        if out[r] is None:
+            out[r] = np.empty(0, dtype=np.int64)
     return out
 
 
@@ -275,33 +484,31 @@ def dsir_count_batches(buckets: int, lo: int, hi: int):
         for batch in batches:
             if not batch.num_rows:
                 continue
-            hs = _per_row_ngram_hashes(batch.column(1), 2)
+            h_flat, row_ids, ntok, nrows = _ngram_parts(batch.column(1), 2)
             doc_ids = batch.column(0).to_numpy(zero_copy_only=False)
-            # token count per row = bigram count + 1 (single-token rows
-            # produced one "gram" = the whole text; drop them below)
-            buf, offs = _string_parts(batch.column(1))
-            sp = _ascii_spaces(buf, offs)
-            out_doc, out_tgt, out_h, out_cnt = [], [], [], []
-            for r, h in enumerate(hs):
-                ntok = sp[r] + 1
-                if ntok < 2:
-                    continue
-                bh = h % buckets
-                uh, cnt = np.unique(bh, return_counts=True)
-                out_doc.append(np.full(len(uh), doc_ids[r], dtype=np.int64))
-                out_tgt.append(
-                    np.full(len(uh), lo <= ntok <= hi, dtype=np.bool_)
-                )
-                out_h.append(uh)
-                out_cnt.append(cnt.astype(np.int64))
-            if not out_doc:
+            # single-token rows produced one "gram" = the whole text; drop
+            # them (the Catalyst formulation's NULL-bigram filter + explode)
+            keep = ntok[row_ids] >= 2
+            rows_k = row_ids[keep]
+            # per-(row, bucket) counts in one combined-key sort + RLE
+            key = rows_k * np.int64(buckets) + (h_flat[keep] % buckets)
+            key.sort()
+            if not len(key):
                 continue
+            edge = np.empty(len(key), dtype=bool)
+            edge[0] = True
+            np.not_equal(key[1:], key[:-1], out=edge[1:])
+            uk = key[edge]
+            cnt = np.diff(np.append(np.nonzero(edge)[0], len(key)))
+            ur = uk // buckets
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(np.concatenate(out_doc), type=pa.int64()),
-                    pa.array(np.concatenate(out_tgt), type=pa.bool_()),
-                    pa.array(np.concatenate(out_h), type=pa.int64()),
-                    pa.array(np.concatenate(out_cnt), type=pa.int64()),
+                    pa.array(doc_ids[ur], type=pa.int64()),
+                    pa.array(
+                        (ntok[ur] >= lo) & (ntok[ur] <= hi), type=pa.bool_()
+                    ),
+                    pa.array(uk % buckets, type=pa.int64()),
+                    pa.array(cnt.astype(np.int64), type=pa.int64()),
                 ],
                 names=["doc_id", "is_target", "h", "cnt"],
             )
@@ -328,20 +535,23 @@ def substring_fp_batches(gram: int, mod: int):
         for batch in batches:
             if not batch.num_rows:
                 continue
-            hs = _per_row_ngram_hashes(batch.column(1), gram)
+            h_flat, row_ids, _ntok, nrows = _ngram_parts(batch.column(1), gram)
             doc_ids = batch.column(0).to_numpy(zero_copy_only=False)
-            out_doc, out_h = [], []
-            for r, h in enumerate(hs):
-                uh = np.unique(h[h % mod == 0])
-                if len(uh):
-                    out_doc.append(np.full(len(uh), doc_ids[r], dtype=np.int64))
-                    out_h.append(uh)
-            if not out_doc:
+            keep = h_flat % mod == 0
+            rows_k, vals = row_ids[keep], h_flat[keep]
+            if not len(rows_k):
                 continue
+            # per-(row, h) distinct via one lexsort + run-length dedupe
+            order = np.lexsort((vals, rows_k))
+            rs, vs = rows_k[order], vals[order]
+            uniq = np.empty(len(rs), dtype=bool)
+            uniq[0] = True
+            np.not_equal(rs[1:], rs[:-1], out=uniq[1:])
+            uniq[1:] |= vs[1:] != vs[:-1]
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(np.concatenate(out_doc), type=pa.int64()),
-                    pa.array(np.concatenate(out_h), type=pa.int64()),
+                    pa.array(doc_ids[rs[uniq]], type=pa.int64()),
+                    pa.array(vs[uniq], type=pa.int64()),
                 ],
                 names=["doc_id", "h"],
             )
