@@ -170,6 +170,22 @@ def extract_corpus(
     return out_normal.unionByName(out_mega)
 
 
+def extract_corpus_direct(corpus: DataFrame) -> DataFrame:
+    """Normal-path-only extraction (one mapInArrow pass, zero shuffles) for
+    corpora whose per-doc span count is STRUCTURALLY bounded far below
+    DEFAULT_SALT_THRESHOLD — the query-layer synthesized corpora: one span
+    per doc (documents_to_corpus, html wrap) or one per PDF page/figure
+    (pdf_binary_to_corpus over the ≤3-page serialized variants). For such
+    inputs this is value-identical to :func:`extract_corpus` (the mega
+    branch's ``size(spans) > threshold`` filter is provably empty), but the
+    plan reads the corpus ONCE — extract_corpus's two branch filters scan it
+    twice, which forced every caller to persist() a corpus whose synthesis
+    is itself an expensive mapInArrow (guide §2.4: remove the second pass
+    instead of caching around it). General/unbounded corpora must keep using
+    extract_corpus, which salts the skew tail."""
+    return corpus.mapInArrow(extract_map_in_arrow, EXTRACTED_SCHEMA)
+
+
 def assert_no_per_row_python(df: DataFrame) -> None:
     """North-rule audit: the physical plan must not contain BatchEvalPython
     (row-at-a-time Python UDF). Allowed: PythonMapInArrow, ArrowEvalPython,
