@@ -2237,6 +2237,45 @@ _SANITIZE_SQL = (
 )
 
 
+def _sanitize_arrow(arr):
+    """The sanitize chain as pyarrow compute (RE2) INSIDE the synthesis
+    kernels — r6: the Catalyst regexp_replace chain cost ~1.5 ms/doc of Java
+    regex (2.3 s/query at sf1.0 across every synthesis query); RE2 runs the
+    same three passes ~20x cheaper and the DuckDB oracle's regexp_replace IS
+    RE2, so this matches the oracle's own engine semantics exactly (simple
+    character classes, a case-insensitive literal, and a greedy ' +' — no
+    alternation-order or backtracking divergence surface). Output is pure
+    ASCII [A-Za-z ] by construction."""
+    import pyarrow.compute as pc
+
+    s = pc.replace_substring_regex(arr, pattern="[^A-Za-z ]", replacement="q")
+    s = pc.replace_substring_regex(s, pattern="(?i)www", replacement="qqq")
+    s = pc.replace_substring_regex(s, pattern=" +", replacement=" ")
+    return pc.utf8_trim(s, " ")
+
+
+def _sentence_dots_arrow(sanitized):
+    """'.' after every complete 10-word group plus a final '.' when the tail
+    group is partial — the pyarrow/RE2 form of the Catalyst group-pat
+    replacement used by the PDF serializers (identical values: verified
+    element-wise against the Catalyst chain and pinned by the extract
+    oracles)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    group_pat = r"((?:[A-Za-z]+ ){%d}[A-Za-z]+)" % (_SENT_WORDS - 1)
+    sent = pc.replace_substring_regex(
+        sanitized, pattern=group_pat, replacement=r"\1."
+    )
+    n_words = pc.count_substring(sanitized, " ").to_numpy(zero_copy_only=False) + 1
+    partial = n_words % _SENT_WORDS != 0
+    import pyarrow as pa
+
+    return pc.if_else(
+        pa.array(partial), pc.binary_join_element_wise(sent, ".", ""), sent
+    )
+
+
 def documents_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a pdf_chars corpus from `documents` deterministically: sanitize,
     group each text's words into 10-word sentences terminated by '.', lay out as
@@ -2249,42 +2288,67 @@ def documents_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .schema import CORPUS_ARROW
 
-    # _spread before the sanitize projection (not around the final frame):
-    # the regex passes must run after the parallelism-floor exchange, not
-    # map-side in a single dimension-scale scan task
+    # r6: the sanitize chain + sentence-dot grouping moved INSIDE the Arrow
+    # kernel as RE2 (pyarrow compute) — the Catalyst Java-regex chain cost
+    # ~1.5 ms/doc (2.3 s/query at sf1.0); RE2 is the oracle's own engine.
+    # _spread still precedes the kernel so the regex work parallelizes.
     docs = _spread(
         _t(spark, sf_dir, "documents")
         .filter(F.length("text") >= _MIN_CHARS)
         .select("doc_id", "text")
-    ).select(F.col("doc_id").cast("string").alias("doc_id"),
-             _SANITIZE_SPARK(F.col("text")).alias("text"))
-
-    group_pat = r"((?:[A-Za-z]+ ){%d}[A-Za-z]+)" % (_SENT_WORDS - 1)
+    ).select(F.col("doc_id").cast("string").alias("doc_id"), "text")
 
     def encode(batches):
         import pyarrow.compute as pc
 
-        from .kernels.util import cps_to_hex
-
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            pdf = batch.to_pandas()
-            # '.' after every complete 10-word group (vectorized regex), plus a
-            # final '.' when the tail group is partial
-            sent = pdf["text"].str.replace(group_pat, r"\1.", regex=True)
-            n_words = pdf["text"].str.count(" ").to_numpy() + 1
-            sent = sent.where(n_words % _SENT_WORDS == 0, sent + ".")
-            # char layout for the WHOLE batch in one pass: utf-32 decode → hex,
-            # per-char x positions from per-doc run offsets; record assembly and
-            # the per-doc line join run in pyarrow C++ string kernels
-            lens = sent.str.len().to_numpy(np.int64)
-            cps = np.frombuffer("".join(sent.tolist()).encode("utf-32-le"), dtype="<u4")
+            # sanitize + '.' after every complete 10-word group (+ final '.'
+            # for a partial tail group), all in RE2/C++
+            sent_arr = _sentence_dots_arrow(_sanitize_arrow(batch.column(1)))
+            if isinstance(sent_arr, pa.ChunkedArray):
+                sent_arr = sent_arr.combine_chunks()
+            # char layout for the WHOLE batch in one pass. Sanitized text is
+            # pure ASCII by construction, so codepoints are the utf-8 bytes
+            # straight off the Arrow buffer (no utf-32 round-trip); the
+            # general decode path remains as a guard.
+            from .kernels.shingle import _string_parts
+
+            sbuf, soffs = _string_parts(sent_arr)
+            if len(soffs) and (soffs[0] != 0 or soffs[-1] != len(sbuf)):
+                sbuf = sbuf[soffs[0] : soffs[-1]]
+                soffs = soffs - soffs[0]
+            lens = np.diff(soffs)
+            if len(sbuf) and sbuf.max() >= 0x80:  # non-ASCII guard (unreachable
+                # for sanitized input): exact utf-32 fallback
+                cps = np.frombuffer(
+                    "".join(sent_arr.to_pylist()).encode("utf-32-le"), dtype="<u4"
+                )
+                lens = np.fromiter(
+                    (len(s) for s in sent_arr.to_pylist()), dtype=np.int64,
+                    count=len(sent_arr),
+                )
+            else:
+                cps = sbuf.astype(np.uint32)
             bounds = np.zeros(len(lens) + 1, dtype=np.int64)
             np.cumsum(lens, out=bounds[1:])
             within = np.arange(len(cps), dtype=np.int64) - np.repeat(bounds[:-1], lens)
+            # 8-digit hex per char without numpy '<U8' round-trips: the hex of
+            # the big-endian uint32 view IS the concatenation of all 8-char
+            # reps — wrap it as a StringArray with stride-8 offsets
+            hx = np.frombuffer(
+                cps.astype(">u4").tobytes().hex().encode("ascii"), dtype=np.uint8
+            )
+            hex_arr = pa.Array.from_buffers(
+                pa.string(), len(cps),
+                [None,
+                 pa.py_buffer(np.arange(0, 8 * (len(cps) + 1), 8,
+                                        dtype=np.int32).tobytes()),
+                 pa.py_buffer(hx.tobytes())],
+            )
             lines = pc.binary_join_element_wise(
-                pa.array(cps_to_hex(cps), type=pa.string()),
+                hex_arr,
                 pc.cast(pa.array(10 + 6 * within), pa.string()),
                 "760",
                 pc.cast(pa.array(16 + 6 * within), pa.string()),
@@ -2296,7 +2360,7 @@ def documents_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "\n",
             )
             payloads = pc.binary_join_element_wise("PAGE\t612\t792", per_doc, "\n")
-            n = len(pdf)
+            n = batch.num_rows
             struct = pa.StructArray.from_arrays(
                 [
                     pa.array(["pdf_chars"] * n),
@@ -2693,19 +2757,14 @@ def documents_to_pdf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     _serialize_variant_pdf) — the input shape a user holding actual PDFs has,
     covering the modern interpreter surface under the driver's oracle
     (r4 VERDICT #6). Binary serialization is per-blob Python inside mapInArrow
-    — the declared binary boundary, same as the decode side."""
-    # _spread before the sanitize projection so the regex passes parallelize
+    — the declared binary boundary, same as the decode side. r6: the sanitize
+    + sentence-dot chain runs as RE2 inside the kernel (see _sanitize_arrow)
+    instead of ~1.5 ms/doc of Catalyst Java regex."""
     docs = _spread(
         _t(spark, sf_dir, "documents")
         .filter(F.length("text") >= _MIN_CHARS)
         .select("doc_id", "text")
-    ).select(F.col("doc_id").cast("string").alias("doc_id"),
-             _SANITIZE_SPARK(F.col("text")).alias("t"))
-    group_pat = r"((?:[A-Za-z]+ ){%d}[A-Za-z]+)" % (_SENT_WORDS - 1)
-    n_words = F.size(F.split(F.col("t"), " "))
-    sent = F.regexp_replace(F.col("t"), group_pat, r"$1.")
-    sent = F.when(n_words % _SENT_WORDS == 0, sent).otherwise(F.concat(sent, F.lit(".")))
-    texts = docs.select("doc_id", sent.alias("sent"))
+    ).select(F.col("doc_id").cast("string").alias("doc_id"), "text")
 
     def serialize(batches):
         import pyarrow as pa
@@ -2714,7 +2773,9 @@ def documents_to_pdf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             if batch.num_rows == 0:
                 continue
             ids = batch.column("doc_id").to_pylist()
-            sents = batch.column("sent").to_pylist()
+            sents = _sentence_dots_arrow(
+                _sanitize_arrow(batch.column(1))
+            ).to_pylist()
             pdfs = [
                 _serialize_variant_pdf(int(d), s) for d, s in zip(ids, sents)
             ]
@@ -2723,7 +2784,7 @@ def documents_to_pdf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names=["doc_id", "pdf"],
             )
 
-    return texts.mapInArrow(serialize, "doc_id string, pdf binary")
+    return docs.mapInArrow(serialize, "doc_id string, pdf binary")
 
 
 _WORKLIST_JPEG_CACHE: bytes | None = None
@@ -2793,14 +2854,13 @@ def _serialize_worklist_pdf(doc_id: int, text: str) -> bytes:
 
 def documents_to_worklist_pdf_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, pdf) frame of multi-page PDFs with deterministic image-only
-    pages — the input for the needs-OCR work-list query."""
-    # _spread before the sanitize projection so the regex passes parallelize
+    pages — the input for the needs-OCR work-list query. r6: sanitize runs as
+    RE2 inside the kernel (see _sanitize_arrow), not Catalyst Java regex."""
     docs = _spread(
         _t(spark, sf_dir, "documents")
         .filter(F.length("text") >= _MIN_CHARS)
         .select("doc_id", "text")
-    ).select(F.col("doc_id").cast("string").alias("doc_id"),
-             _SANITIZE_SPARK(F.col("text")).alias("sent"))
+    ).select(F.col("doc_id").cast("string").alias("doc_id"), "text")
 
     def serialize(batches):
         import pyarrow as pa
@@ -2809,7 +2869,7 @@ def documents_to_worklist_pdf_binary(spark: SparkSession, sf_dir: str) -> DataFr
             if batch.num_rows == 0:
                 continue
             ids = batch.column("doc_id").to_pylist()
-            sents = batch.column("sent").to_pylist()
+            sents = _sanitize_arrow(batch.column(1)).to_pylist()
             pdfs = [
                 _serialize_worklist_pdf(int(d), s) for d, s in zip(ids, sents)
             ]
@@ -3038,37 +3098,57 @@ def q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     'DOM text-density boilerplate strip' evidenced at the query level.
     r6: single-pass via extract_corpus_direct (one html span per doc by
     construction, mega branch structurally empty — the corpus is read once
-    instead of once per branch filter)."""
-    from .pipeline import extract_corpus_direct
+    instead of once per branch filter), and the sanitize + html wrap run as
+    RE2/C++ string kernels inside one mapInArrow instead of Catalyst Java
+    regex (~1.5 ms/doc) + per-row concat."""
+    import numpy as np
+    import pyarrow as pa
 
-    # _spread BEFORE the sanitize projection: expressions placed upstream of
-    # the repartition run map-side in the (possibly single) scan task, so the
-    # regex passes must sit after the exchange to parallelize
+    from .pipeline import extract_corpus_direct
+    from .schema import CORPUS_ARROW
+
     docs = _spread(
         _t(spark, sf_dir, "documents")
         .filter(F.length("text") >= _MIN_CHARS)
         .select("doc_id", "text")
-    ).select(F.col("doc_id").cast("string").alias("doc_id"),
-             _SANITIZE_SPARK(F.col("text")).alias("t"))
-    html = F.concat(
-        F.lit("<html><head><title>Doc</title><style>p{margin:0}</style></head><body>"
-              "<nav><a href='#'>Home</a> <a href='#'>About</a> <a href='#'>Contact</a></nav>"
-              "<p>"),
-        F.col("t"),
-        F.lit('</p><img src="fig-'),
-        F.col("doc_id"),
-        F.lit('"><footer>Copyright qsite</footer></body></html>'),
-    )
-    corpus = docs.select(
-        "doc_id",
-        F.array(
-            F.struct(
-                F.lit("html").alias("kind"),
-                html.alias("text"),
-                F.lit(None).cast("string").alias("media_ref"),
-                F.lit(0).cast("int").alias("offset"),
+    ).select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+
+    def wrap(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            html = pc.binary_join_element_wise(
+                "<html><head><title>Doc</title><style>p{margin:0}</style></head><body>"
+                "<nav><a href='#'>Home</a> <a href='#'>About</a> <a href='#'>Contact</a></nav>"
+                "<p>",
+                _sanitize_arrow(batch.column(1)),
+                '</p><img src="fig-',
+                batch.column(0),
+                '"><footer>Copyright qsite</footer></body></html>',
+                "",
             )
-        ).alias("spans"),
+            n = batch.num_rows
+            struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(["html"] * n),
+                    html,
+                    pa.array([None] * n, type=pa.string()),
+                    pa.array([0] * n, type=pa.int32()),
+                ],
+                fields=list(CORPUS_ARROW.field("spans").type.value_type),
+            )
+            spans = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32)), struct
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), spans], schema=CORPUS_ARROW
+            )
+
+    corpus = docs.mapInArrow(
+        wrap,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
     )
     out = extract_corpus_direct(corpus)
     return out.select("doc_id", F.explode("spans").alias("s")).select(
