@@ -68,19 +68,16 @@ def _compress(state, words):
     return (A + a, B + b, C + c, D + d)
 
 
-def md5_first32_var(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """First 32 digest bits (as the non-negative int64 the engine's
-    conv(substr(md5,1,8),16,10) yields) for n messages given as byte slices
-    ``buf[starts[i] : starts[i]+lens[i]]`` of one uint8 buffer.
-
-    Handles lengths 0..119 (1-2 MD5 blocks). Raises for longer messages —
-    route those through :func:`md5_first32_long`."""
+def _md5_state_ab_var(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray):
+    """(A, B) final state words (uint32 arrays) of MD5 for n messages given
+    as byte slices of one uint8 buffer. Lengths 0..119 (1-2 blocks)."""
     n = len(starts)
-    out = np.empty(n, dtype=np.uint32)
+    out_a = np.empty(n, dtype=np.uint32)
+    out_b = np.empty(n, dtype=np.uint32)
     if n == 0:
-        return out.astype(np.int64)
+        return out_a, out_b
     if int(lens.max(initial=0)) > 119:
-        raise ValueError("md5_first32_var handles <=119-byte messages")
+        raise ValueError("vectorized MD5 handles <=119-byte messages")
     starts = starts.astype(np.int64, copy=False)
     lens = lens.astype(np.int64, copy=False)
     one = lens <= 55
@@ -105,8 +102,37 @@ def md5_first32_var(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np
             for blk in range(nblocks):
                 w = [words[:, blk * 16 + j] for j in range(16)]
                 state = _compress(state, w)
-        out[idxs] = state[0].byteswap()
-    return out.astype(np.int64)
+        out_a[idxs] = state[0]
+        out_b[idxs] = state[1]
+    return out_a, out_b
+
+
+def md5_first32_var(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """First 32 digest bits (as the non-negative int64 the engine's
+    conv(substr(md5,1,8),16,10) yields) for n messages given as byte slices
+    ``buf[starts[i] : starts[i]+lens[i]]`` of one uint8 buffer.
+
+    Handles lengths 0..119 (1-2 MD5 blocks). Raises for longer messages —
+    route those through :func:`md5_first32_long`."""
+    a, _b = _md5_state_ab_var(buf, starts, lens)
+    return a.byteswap().astype(np.int64)
+
+
+def md5_first56_var(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """First 56 digest bits as non-negative int64 — the engine-wide
+    conv(substr(md5(x),1,14),16,10) value (_h56). Digest bytes 0-6 are the
+    little-endian bytes of state A plus the low 3 bytes of state B, read
+    big-endian: (bswap32(A) << 24) | (bswap32(B) >> 8)."""
+    a, b = _md5_state_ab_var(buf, starts, lens)
+    return (
+        (a.byteswap().astype(np.int64) << np.int64(24))
+        | (b.byteswap().astype(np.int64) >> np.int64(8))
+    )
+
+
+def md5_first56_long(data: bytes) -> int:
+    """Scalar fallback for messages the vectorized path rejects."""
+    return int(hashlib.md5(data).hexdigest()[:14], 16)
 
 
 def md5_first32_long(data: bytes) -> int:

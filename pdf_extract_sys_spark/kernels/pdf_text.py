@@ -232,8 +232,10 @@ def decode_pdf_core(pages: pd.DataFrame) -> tuple[PdfEvents, pd.Index]:
     x1 = np.full(n, np.nan)
     y1 = np.full(n, np.nan)
     if shape5.any():
-        sel = pa.array(shape5)
-        sub = pc.split_pattern(body.filter(sel), "\t")
+        # reuse the existing field split (r6): filtering the ListArray is a
+        # buffer-level take — re-splitting every body line cost a second full
+        # pass over the batch's bytes in the common all-coords case
+        sub = fields if shape5.all() else fields.filter(pa.array(shape5))
         soff = sub.offsets.to_numpy(zero_copy_only=False)
         scnt = np.diff(soff)
         svals = sub.values

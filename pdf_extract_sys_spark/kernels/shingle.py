@@ -24,7 +24,13 @@ from __future__ import annotations
 
 import numpy as np
 
-from .md5np import md5_first32_long, md5_first32_slide5, md5_first32_var
+from .md5np import (
+    md5_first32_long,
+    md5_first32_slide5,
+    md5_first32_var,
+    md5_first56_long,
+    md5_first56_var,
+)
 
 _MH_P = (1 << 61) - 1
 _MH_P64 = np.uint64(_MH_P)
@@ -182,13 +188,6 @@ def _per_row_hash5(batch_t):
     return out
 
 
-def _token_bounds(buf: np.ndarray, o: int, ln: int):
-    """Token start/end byte positions (relative) for one row under
-    split-on-single-space-keeping-empties semantics."""
-    sp = np.nonzero(buf[o : o + ln] == 0x20)[0]
-    starts = np.concatenate(([0], sp + 1))
-    ends = np.concatenate((sp, [ln]))
-    return starts, ends
 
 
 def minhash_batches(coeffs):
@@ -524,6 +523,216 @@ def _ascii_spaces(buf: np.ndarray, offs: np.ndarray) -> np.ndarray:
         return np.zeros(len(offs) - 1, dtype=np.int64)
     c = np.concatenate(([0], np.cumsum((buf == 0x20).astype(np.int64))))
     return c[offs[1:]] - c[offs[:-1]]
+
+
+def ngram_string_batches(gram: int):
+    """mapInArrow factory: (doc_id, t) -> (doc_id, gram) — one row per
+    word-``gram``-gram POSITION (duplicates kept, matching explode), emitted
+    only for rows with >= ``gram`` tokens. A word-n-gram joined on single
+    spaces IS a contiguous byte span of the row, so the output string column
+    is one gather over the batch buffer + an offsets array (guide §4.2's
+    buffer-re-slicing pattern) — no per-gram JVM slice/array_join chain."""
+    import pyarrow as pa
+
+    def fn(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            buf, offs = _string_parts(batch.column(1))
+            if len(offs) and (offs[0] != 0 or offs[-1] != len(buf)):
+                buf = buf[offs[0] : offs[-1]]
+                offs = offs - offs[0]
+            nrows = len(offs) - 1
+            ascii_ok = _ascii_rows(buf, offs)
+            doc_ids = batch.column(0).to_numpy(zero_copy_only=False)
+            out_doc_parts: list = []
+            gram_val_parts: list = []
+            gram_len_parts: list = []
+            py_rows: list = []
+            rows = np.nonzero(ascii_ok)[0]
+            if rows.size:
+                starts, lens, counts = _ngram_spans_ascii(buf, offs, rows, gram)
+                # rows with < gram tokens produced ONE whole-text pseudo-gram;
+                # drop them (the Catalyst formulation filters n >= gram)
+                csp = np.zeros(len(buf) + 1, dtype=np.int64)
+                np.cumsum(buf == 0x20, out=csp[1:])
+                ntok = csp[offs[rows + 1]] - csp[offs[rows]] + 1
+                ok = ntok >= gram
+                keep = np.repeat(ok, counts)
+                starts, lens = starts[keep], lens[keep]
+                counts = counts * ok
+                # gather the gram bytes row-major into one value buffer
+                total, _gseg, within = _flat_within(lens)
+                idx = np.repeat(starts, lens) + within
+                vals = buf[idx] if total else np.empty(0, np.uint8)
+                goffs = np.zeros(len(lens) + 1, dtype=np.int64)
+                np.cumsum(lens, out=goffs[1:])
+                gram_arr = pa.Array.from_buffers(
+                    pa.string(), len(lens),
+                    [None,
+                     pa.py_buffer(goffs.astype(np.int32).tobytes()),
+                     pa.py_buffer(vals.tobytes())],
+                )
+                out_doc_parts.append(np.repeat(doc_ids[rows], counts))
+                gram_val_parts.append(gram_arr)
+            for r in np.nonzero(~ascii_ok)[0]:
+                toks = batch.column(1)[r].as_py().split(" ")
+                if len(toks) < gram:
+                    continue
+                gs = [" ".join(toks[i : i + gram])
+                      for i in range(len(toks) - gram + 1)]
+                out_doc_parts.append(np.full(len(gs), doc_ids[r], dtype=np.int64))
+                py_rows.extend(gs)
+            if py_rows:
+                gram_val_parts.append(pa.array(py_rows, type=pa.string()))
+            if not out_doc_parts:
+                continue
+            grams = (
+                pa.concat_arrays(gram_val_parts)
+                if len(gram_val_parts) > 1
+                else gram_val_parts[0]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out_doc_parts), type=pa.int64()), grams],
+                names=["doc_id", "gram"],
+            )
+
+    return fn
+
+
+def _bpe_counts_cps(cls_alpha, cls_digit, cls_space, offs):
+    """Token count per row for the [a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ] tokenizer
+    given per-position class masks and row offsets: alpha-run starts +
+    digit-run starts + other positions (greedy alternation ⇒ maximal runs)."""
+    other = ~(cls_alpha | cls_digit | cls_space)
+    prev_a = np.empty_like(cls_alpha)
+    prev_a[0] = False
+    prev_a[1:] = cls_alpha[:-1]
+    prev_d = np.empty_like(cls_digit)
+    prev_d[0] = False
+    prev_d[1:] = cls_digit[:-1]
+    # a run never continues across a row boundary
+    row_starts = offs[:-1][(offs[:-1] < len(cls_alpha))]
+    prev_a[row_starts] = False
+    prev_d[row_starts] = False
+    contrib = ((cls_alpha & ~prev_a) | (cls_digit & ~prev_d) | other).astype(
+        np.int64
+    )
+    c = np.zeros(len(contrib) + 1, dtype=np.int64)
+    np.cumsum(contrib, out=c[1:])
+    return c[offs[1:]] - c[offs[:-1]]
+
+
+def bpe_token_count_batches():
+    """mapInArrow factory: (doc_id, t) -> (doc_id, n_bpe_tokens, n_ws_tokens)
+    — the regex-tokenizer counts ([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ] matches and
+    whitespace-split tokens) computed by byte-class transition arithmetic
+    instead of per-doc JVM regexp_extract_all. Identical counts: the greedy
+    alternation matches exactly the maximal alpha runs, maximal digit runs,
+    and single other-class codepoints. Non-ASCII rows classify decoded
+    codepoints (every codepoint > 0x7F is other-class — the regex classes
+    are ASCII-only)."""
+    import pyarrow as pa
+
+    def fn(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            buf, offs = _string_parts(batch.column(1))
+            if len(offs) and (offs[0] != 0 or offs[-1] != len(buf)):
+                buf = buf[offs[0] : offs[-1]]
+                offs = offs - offs[0]
+            nrows = len(offs) - 1
+            ascii_ok = _ascii_rows(buf, offs)
+            n_bpe = np.zeros(nrows, dtype=np.int32)
+            lo = buf | np.uint8(0x20)
+            alpha = (lo >= 0x61) & (lo <= 0x7A)
+            digit = (buf >= 0x30) & (buf <= 0x39)
+            space = buf == 0x20
+            all_counts = _bpe_counts_cps(alpha, digit, space, offs)
+            n_bpe[:] = all_counts.astype(np.int32)
+            for r in np.nonzero(~ascii_ok)[0]:
+                cps = np.frombuffer(
+                    batch.column(1)[r].as_py().encode("utf-32-le"), dtype="<u4"
+                )
+                a = ((cps | 0x20) >= 0x61) & ((cps | 0x20) <= 0x7A) & (cps < 0x80)
+                d = (cps >= 0x30) & (cps <= 0x39)
+                s = cps == 0x20
+                n_bpe[r] = _bpe_counts_cps(
+                    a, d, s, np.array([0, len(cps)], dtype=np.int64)
+                )[0]
+            n_ws = (_ascii_spaces(buf, offs) + 1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(n_bpe, type=pa.int32()),
+                    pa.array(n_ws, type=pa.int32()),
+                ],
+                names=["doc_id", "n_bpe_tokens", "n_ws_tokens"],
+            )
+
+    return fn
+
+
+def _hash_spans56(buf, starts, lens):
+    """md5-first56 (_h56) for byte spans of any length (vectorized <=119,
+    exact fallback beyond)."""
+    out = np.empty(len(starts), dtype=np.int64)
+    short = lens <= 119
+    si = np.nonzero(short)[0]
+    out[si] = md5_first56_var(buf, starts[si], lens[si])
+    for i in np.nonzero(~short)[0]:
+        out[i] = md5_first56_long(buf[starts[i] : starts[i] + lens[i]].tobytes())
+    return out
+
+
+def simhash_batches(nbits: int):
+    """mapInArrow factory: (doc_id, t) -> (doc_id, simhash) — the per-doc
+    SimHash over whitespace tokens (empties included, matching split-on-' '),
+    token hash = the engine-wide 56-bit md5 (_h56), bit j's vote = +1 when
+    set else -1, simhash bit j = (sum > 0). One vectorized 56-bit MD5 pass +
+    nbits bincounts replaces explode → per-token JVM md5 → 16-way conditional
+    aggregation (values bit-identical: same md5, same integer votes)."""
+    import pyarrow as pa
+
+    def fn(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            buf, offs = _string_parts(batch.column(1))
+            if len(offs) and (offs[0] != 0 or offs[-1] != len(buf)):
+                buf = buf[offs[0] : offs[-1]]
+                offs = offs - offs[0]
+            nrows = len(offs) - 1
+            ascii_ok = _ascii_rows(buf, offs)
+            rows = np.nonzero(ascii_ok)[0]
+            sums = np.zeros((nrows, nbits), dtype=np.int64)
+            if rows.size:
+                starts, lens, counts = _ngram_spans_ascii(buf, offs, rows, 1)
+                h = _hash_spans56(buf, starts, lens)
+                row_ids = np.repeat(rows, counts)
+                for j in range(nbits):
+                    pm = (((h >> np.int64(j)) & 1) * 2 - 1).astype(np.float64)
+                    sums[:, j] = np.bincount(
+                        row_ids, weights=pm, minlength=nrows
+                    ).astype(np.int64)
+            for r in np.nonzero(~ascii_ok)[0]:
+                toks = batch.column(1)[r].as_py().split(" ")
+                hs = np.fromiter(
+                    (md5_first56_long(t.encode("utf-8")) for t in toks),
+                    dtype=np.int64, count=len(toks),
+                )
+                for j in range(nbits):
+                    sums[r, j] = int((((hs >> np.int64(j)) & 1) * 2 - 1).sum())
+            sim = np.zeros(nrows, dtype=np.int64)
+            for j in range(nbits):
+                sim |= (sums[:, j] > 0).astype(np.int64) << np.int64(j)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(sim, type=pa.int64())],
+                names=["doc_id", "simhash"],
+            )
+
+    return fn
 
 
 def substring_fp_batches(gram: int, mod: int):

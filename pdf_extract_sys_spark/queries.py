@@ -377,14 +377,18 @@ _BPE_TOKEN_PAT = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
 
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish regex tokenizer counts (whitespace + word/number/punct classes)."""
+    """BPE-ish regex tokenizer counts (whitespace + word/number/punct classes).
+
+    r6 form (guide §4.2): counts come from byte-class transition arithmetic
+    in ONE Arrow kernel (alpha-run starts + digit-run starts + other chars —
+    exactly what the greedy alternation matches) instead of per-doc JVM
+    regexp_extract_all materializing every token."""
+    from .kernels.shingle import bpe_token_count_batches
+
     docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    return docs.select(
-        "doc_id",
-        F.size(
-            F.regexp_extract_all(F.col("text"), F.lit(_BPE_TOKEN_PAT), F.lit(0))
-        ).alias("n_bpe_tokens"),
-        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+    return docs.mapInArrow(
+        bpe_token_count_batches(),
+        "doc_id long, n_bpe_tokens int, n_ws_tokens int",
     )
 
 
@@ -526,7 +530,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB form: the benchmark side is tiny by construction ⇒ broadcast hash
     join against the exploded corpus n-grams (no shuffle of the 100 TB side;
     the explode is map-side and never materialized); only the per-doc count
-    aggregation exchanges, keyed on doc_id."""
+    aggregation exchanges, keyed on doc_id. r6 (guide §4.2): gram rows come
+    from ONE Arrow kernel that re-slices the batch's byte buffer (a word
+    10-gram joined on single spaces IS a contiguous byte span) — replacing
+    ~45 per-doc slice+array_join expression evaluations; the bench side and
+    the join/aggregation stay in Catalyst unchanged."""
+    from .kernels.shingle import ngram_string_batches
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     ws = F.split(F.col("text"), " ")
     n = F.size(ws)
@@ -534,15 +544,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("bench_id"),
         F.array_join(F.slice(ws, 6, _CONTAM_N), " ").alias("item"),
     )
-    grams = _spread(docs).filter(n >= _CONTAM_N).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), n - (_CONTAM_N - 1)),
-                lambda i: F.array_join(F.slice(ws, i, _CONTAM_N), " "),
-            )
-        ).alias("gram"),
-    )
+    grams = _spread(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    ).mapInArrow(ngram_string_batches(_CONTAM_N), "doc_id long, gram string")
     return (
         grams.join(F.broadcast(bench), grams.gram == bench.item)
         .groupBy("doc_id")
@@ -665,25 +669,25 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort is the standard Exchange+Sort Spark already does for any window, and
     shard streams stay independent under resharding — repacking after a
     corpus append only touches the appended suffix of each stream."""
-    # r6: repartition by the SHARD KEY up front, sized to shuffle.partitions so
-    # the window's required distribution is already satisfied (one exchange
-    # total, reused — guide §2.4) and the tokenizer regex runs AFTER it,
-    # parallel across shards instead of inside the single dimension-scale scan
-    # task. Shard count bounds the regex parallelism and scales with the
-    # cluster by design (_PACK_SHARDS).
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    docs = (
+    # r6: token counts come from the Arrow byte-class kernel (identical to
+    # regexp_extract_all counting — see bpe_token_count_batches) running
+    # map-side in the scan task; only the tiny (doc_id, shard, n_tokens)
+    # rows then shuffle for the per-shard window cumsum (guide §2.3: shuffle
+    # keys + a count, never the text payload).
+    from .kernels.shingle import bpe_token_count_batches
+
+    counts = (
         _t(spark, sf_dir, "documents")
-        .select("doc_id", (F.col("doc_id") % _PACK_SHARDS).alias("shard"), "text")
-        .repartition(nparts, "shard")
+        .select("doc_id", "text")
+        .mapInArrow(
+            bpe_token_count_batches(),
+            "doc_id long, n_bpe_tokens int, n_ws_tokens int",
+        )
     )
-    toks = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(_BPE_TOKEN_PAT), F.lit(0))
-    )
-    t = docs.select(
+    t = counts.select(
         "doc_id",
-        "shard",
-        toks.cast("long").alias("n_tokens"),
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.col("n_bpe_tokens").cast("long").alias("n_tokens"),
     )
     w = Window.partitionBy("shard").orderBy("doc_id")
     # materialize the cumsum ONCE (a single _we slot in the Window node), then
@@ -1387,6 +1391,10 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
+        # carry the round-start label through as `prev` (r6): the convergence
+        # check then counts on the already-materialized round output instead
+        # of joining back against the previous labels — one join and one
+        # shuffle fewer per round, identical `changed` value
         prop = (
             sym.join(labels, sym["doc_a"] == labels["doc_id"])
             .groupBy(F.col("doc_b").alias("doc_id"))
@@ -1394,21 +1402,17 @@ def connected_components(
         )
         stepped = (
             labels.join(prop, "doc_id", "left")
-            .select("doc_id", F.least("label", F.coalesce("nbr_min", "label")).alias("label"))
+            .select("doc_id", F.col("label").alias("prev"),
+                    F.least("label", F.coalesce("nbr_min", "label")).alias("label"))
         )
         lut = stepped.select(F.col("doc_id").alias("label"), F.col("label").alias("label2"))
         doubled = (
             stepped.join(lut, "label", "left")
-            .select("doc_id", F.coalesce("label2", "label").alias("label"))
+            .select("doc_id", "prev", F.coalesce("label2", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            doubled.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = doubled
+        changed = doubled.filter(F.col("label") != F.col("prev")).count()
+        labels = doubled.select("doc_id", "label")
         if stats is not None:
             stats["rounds"] = stats.get("rounds", 0) + 1
         if changed == 0:
@@ -1636,23 +1640,20 @@ _SIMHASH_BITS = 16
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash document fingerprint (16-bit) over whitespace tokens."""
+    """SimHash document fingerprint (16-bit) over whitespace tokens.
+
+    r6 form (guide §4.2): ONE vectorized Arrow kernel hashes every token
+    (the same 56-bit md5 value _h56 yields, via kernels.md5np) and folds the
+    per-bit ±1 votes per doc — replacing explode → per-token JVM md5 →
+    16-way conditional aggregation + its doc_id exchange. Bit-identical
+    values; zero shuffle."""
+    from .kernels.shingle import simhash_batches
+
     docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
-    ).withColumn("th", _h56(F.col("tok")))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(_SIMHASH_BITS)
-    ]
-    sums = tok.groupBy("doc_id").agg(*aggs)
-    sim = sum(
-        F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        for j in range(_SIMHASH_BITS)
+    src = docs.select(
+        F.col("doc_id"), F.lower(F.col("text")).alias("t")
     )
-    return sums.select("doc_id", sim.cast("long").alias("simhash"))
+    return src.mapInArrow(simhash_batches(_SIMHASH_BITS), "doc_id long, simhash long")
 
 
 def _sql_simhash() -> str:
