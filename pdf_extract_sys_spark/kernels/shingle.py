@@ -604,6 +604,8 @@ def _bpe_counts_cps(cls_alpha, cls_digit, cls_space, offs):
     """Token count per row for the [a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ] tokenizer
     given per-position class masks and row offsets: alpha-run starts +
     digit-run starts + other positions (greedy alternation ⇒ maximal runs)."""
+    if len(cls_alpha) == 0:  # batch of empty rows
+        return np.zeros(len(offs) - 1, dtype=np.int64)
     other = ~(cls_alpha | cls_digit | cls_space)
     prev_a = np.empty_like(cls_alpha)
     prev_a[0] = False
@@ -669,6 +671,137 @@ def bpe_token_count_batches():
                     pa.array(n_ws, type=pa.int32()),
                 ],
                 names=["doc_id", "n_bpe_tokens", "n_ws_tokens"],
+            )
+
+    return fn
+
+
+def ngram_distinct_array_batches(gram: int):
+    """mapInArrow factory: (doc_id, t) -> (doc_id, tg array<string>) — the
+    per-row DISTINCT word-``gram``-gram strings, one array per row.
+
+    Semantics mirror the Catalyst n-gram builder used by
+    q_ngram_jaccard_pairs: a row with >= ``gram`` tokens yields its
+    n_tok - gram + 1 gram positions deduplicated; a row with fewer tokens
+    yields an EMPTY array (the Catalyst formulation's NULL-filter drops its
+    padded grams). Array ORDER is (length, bytes)-ascending rather than
+    first-occurrence — the consumer uses only set CARDINALITIES
+    (array_intersect/array_union sizes), which are order-insensitive; the
+    dedup key (length, padded bytes) equals string equality exactly."""
+    import pyarrow as pa
+
+    def fn(batches):
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            buf, offs = _string_parts(batch.column(1))
+            if len(offs) and (offs[0] != 0 or offs[-1] != len(buf)):
+                buf = buf[offs[0] : offs[-1]]
+                offs = offs - offs[0]
+            nrows = len(offs) - 1
+            ascii_ok = _ascii_rows(buf, offs)
+            rows = np.nonzero(ascii_ok)[0]
+            # per-row distinct spans, accumulated as (row, start, len)
+            out_counts = np.zeros(nrows, dtype=np.int64)
+            sel_starts_parts: list = []
+            sel_lens_parts: list = []
+            sel_rows_parts: list = []
+            py_vals: dict[int, list] = {}
+            if rows.size:
+                starts, lens, counts = _ngram_spans_ascii(buf, offs, rows, gram)
+                csp = np.zeros(len(buf) + 1, dtype=np.int64)
+                np.cumsum(buf == 0x20, out=csp[1:])
+                ntok = csp[offs[rows + 1]] - csp[offs[rows]] + 1
+                keep = np.repeat(ntok >= gram, counts)
+                starts, lens = starts[keep], lens[keep]
+                row_ids = np.repeat(rows, counts)[keep]
+                if len(starts):
+                    w = int(lens.max())
+                    if w <= 512:
+                        # pad spans to fixed width, dedupe via one lexsort on
+                        # (row, len, bytes) + run-length edge detection
+                        total, _seg, within = _flat_within(lens)
+                        m = np.zeros((len(starts), w), dtype=np.uint8)
+                        flat_idx = np.repeat(
+                            np.arange(len(starts), dtype=np.int64) * w, lens
+                        ) + within
+                        m.ravel()[flat_idx] = buf[np.repeat(starts, lens) + within]
+                        key = m.view(f"S{w}").ravel()
+                        order = np.lexsort((key, lens, row_ids))
+                        rs = row_ids[order]
+                        ls = lens[order]
+                        ks = key[order]
+                        uniq = np.empty(len(rs), dtype=bool)
+                        if len(rs):
+                            uniq[0] = True
+                            uniq[1:] = (
+                                (rs[1:] != rs[:-1])
+                                | (ls[1:] != ls[:-1])
+                                | (ks[1:] != ks[:-1])
+                            )
+                        sel = order[uniq]
+                        sel_rows_parts.append(row_ids[sel])
+                        sel_starts_parts.append(starts[sel])
+                        sel_lens_parts.append(lens[sel])
+                    else:  # absurdly long grams: per-row python dedupe
+                        for r in np.unique(row_ids):
+                            sp = starts[row_ids == r]
+                            ln = lens[row_ids == r]
+                            seen = sorted(
+                                {buf[s : s + l].tobytes() for s, l in zip(sp, ln)}
+                            )
+                            py_vals[int(r)] = [b.decode("utf-8") for b in seen]
+            for r in np.nonzero(~ascii_ok)[0]:
+                toks = batch.column(1)[r].as_py().split(" ")
+                if len(toks) < gram:
+                    continue
+                py_vals[int(r)] = sorted(
+                    {" ".join(toks[i : i + gram])
+                     for i in range(len(toks) - gram + 1)}
+                )
+            # assemble row-major: vectorized spans first, then merge py rows
+            if sel_rows_parts:
+                vr = sel_rows_parts[0]
+                vs, vl = sel_starts_parts[0], sel_lens_parts[0]
+                ordr = np.argsort(vr, kind="stable")  # lexsort left rows sorted
+                vr, vs, vl = vr[ordr], vs[ordr], vl[ordr]
+            else:
+                vr = np.empty(0, np.int64)
+                vs = vl = np.empty(0, np.int64)
+            np.add.at(out_counts, vr, 1) if len(vr) else None
+            for r, vals in py_vals.items():
+                out_counts[r] = len(vals)
+            # values buffer for the vectorized spans
+            total, _seg, within = _flat_within(vl)
+            vals_bytes = buf[np.repeat(vs, vl) + within] if total else np.empty(0, np.uint8)
+            voffs = np.zeros(len(vl) + 1, dtype=np.int64)
+            np.cumsum(vl, out=voffs[1:])
+            vec_arr = pa.Array.from_buffers(
+                pa.string(), len(vl),
+                [None, pa.py_buffer(voffs.astype(np.int32).tobytes()),
+                 pa.py_buffer(vals_bytes.tobytes())],
+            )
+            if py_vals:
+                # merge: build per-row python lists only where needed
+                vec_lists = []
+                b0 = np.zeros(nrows + 1, dtype=np.int64)
+                np.cumsum(np.bincount(vr, minlength=nrows), out=b0[1:])
+                for r in range(nrows):
+                    if r in py_vals:
+                        vec_lists.append(py_vals[r])
+                    else:
+                        vec_lists.append(
+                            vec_arr.slice(b0[r], b0[r + 1] - b0[r]).to_pylist()
+                        )
+                tg = pa.array(vec_lists, type=pa.list_(pa.string()))
+            else:
+                loffs = np.zeros(nrows + 1, dtype=np.int64)
+                np.cumsum(out_counts, out=loffs[1:])
+                tg = pa.ListArray.from_arrays(
+                    pa.array(loffs, type=pa.int64()).cast(pa.int32()), vec_arr
+                )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), tg], names=["doc_id", "tg"]
             )
 
     return fn

@@ -1311,7 +1311,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids (guide §3.2 — reduce the big side before heavy work; an inner join on
     doc_a/doc_b keeps exactly those rows anyway, so this is pure plan
     algebra), after the _spread parallelism floor so trigram construction
-    never serializes on a dimension-scale scan split."""
+    never serializes on a dimension-scale scan split. r6 (guide §4.2): the
+    distinct-trigram arrays come from ONE Arrow kernel that re-slices the
+    batch byte buffer (a word-3-gram joined on single spaces is a contiguous
+    byte span) and dedupes with one lexsort — replacing ~50 per-doc
+    try_element_at+concat evaluations plus array_distinct; array order
+    differs (sorted vs first-occurrence) but only the set CARDINALITIES
+    feed the jaccard, so values are identical."""
+    from .kernels.shingle import ngram_distinct_array_batches
+
     cands = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
     ids = (
         cands.select(F.col("doc_a").alias("doc_id"))
@@ -1321,20 +1329,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text")).join(
         F.broadcast(ids), "doc_id", "left_semi"
     )
-    toks = F.split(F.lower(F.col("text")), " ")
-    # try_element_at: ANSI-mode element_at past the array end throws — a
-    # 1-2-word doc must yield NULL trigrams (filtered below), not a job abort
-    tg_raw = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-        lambda i: F.concat(
-            F.try_element_at(toks, i), F.lit(" "),
-            F.try_element_at(toks, i + 1), F.lit(" "),
-            F.try_element_at(toks, i + 2),
-        ),
-    )
     tg = docs.select(
-        "doc_id",
-        F.array_distinct(F.filter(tg_raw, lambda x: x.isNotNull())).alias("tg"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lower(F.col("text")).alias("t"),
+    ).mapInArrow(
+        ngram_distinct_array_batches(3), "doc_id long, tg array<string>"
     )
     a = tg.select(F.col("doc_id").alias("doc_a"), F.col("tg").alias("tga"))
     b = tg.select(F.col("doc_id").alias("doc_b"), F.col("tg").alias("tgb"))

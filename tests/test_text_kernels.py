@@ -11,6 +11,7 @@ import pyarrow as pa
 
 from pdf_extract_sys_spark.kernels.shingle import (
     bpe_token_count_batches,
+    ngram_distinct_array_batches,
     ngram_string_batches,
     simhash_batches,
 )
@@ -55,6 +56,22 @@ def test_ngram_strings_match_explode_reference():
         for j in range(len(toks) - 9):
             exp.append((i, " ".join(toks[j:j + 10])))
     assert got == sorted(exp)
+
+
+TG_TEXTS = [
+    "", "a", "a b", "a b c", "one two three four two three four five",
+    "x  y   z w", "naïve café x y z", "a b c " * 40, "t " * 2 + "t",
+]
+
+
+def test_ngram_distinct_arrays_match_reference_sets():
+    (out,) = list(ngram_distinct_array_batches(3)(iter([_batch(TG_TEXTS)])))
+    for i, t in enumerate(TG_TEXTS):
+        toks = t.split(" ")
+        exp = ({" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
+               if len(toks) >= 3 else set())
+        got = out.column(1)[i].as_py()
+        assert set(got) == exp and len(got) == len(exp), t
 
 
 SIMHASH_TEXTS = ["", "one", "one two  three", "naïve café 中文", "w " * 80]
