@@ -567,6 +567,10 @@ def ngram_string_batches(gram: int):
                 vals = buf[idx] if total else np.empty(0, np.uint8)
                 goffs = np.zeros(len(lens) + 1, dtype=np.int64)
                 np.cumsum(lens, out=goffs[1:])
+                if goffs[-1] >= (1 << 31):  # int32 offset overflow guard: a
+                    # degenerate batch (one colossal row) must error loudly,
+                    # never wrap into a corrupt StringArray
+                    raise ValueError("gram batch exceeds 2 GiB of string data")
                 gram_arr = pa.Array.from_buffers(
                     pa.string(), len(lens),
                     [None,
@@ -776,6 +780,8 @@ def ngram_distinct_array_batches(gram: int):
             vals_bytes = buf[np.repeat(vs, vl) + within] if total else np.empty(0, np.uint8)
             voffs = np.zeros(len(vl) + 1, dtype=np.int64)
             np.cumsum(vl, out=voffs[1:])
+            if voffs[-1] >= (1 << 31):  # int32 offset overflow guard
+                raise ValueError("gram batch exceeds 2 GiB of string data")
             vec_arr = pa.Array.from_buffers(
                 pa.string(), len(vl),
                 [None, pa.py_buffer(voffs.astype(np.int32).tobytes()),

@@ -1650,7 +1650,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     src = docs.select(
-        F.col("doc_id"), F.lower(F.col("text")).alias("t")
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lower(F.col("text")).alias("t"),
     )
     return src.mapInArrow(simhash_batches(_SIMHASH_BITS), "doc_id long, simhash long")
 
