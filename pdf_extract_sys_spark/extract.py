@@ -34,6 +34,7 @@ import pyarrow as pa
 from .kernels import html as html_k
 from .kernels import ocr as ocr_k
 from .kernels import pdf_text as pdf_k
+from .kernels.util import grouped_cumsum
 from .schema import (
     EXTRACTED_ARROW,
     INPUT_KINDS,
@@ -277,10 +278,31 @@ def extract_docs(
     if parts:
         allp = pd.concat(parts, ignore_index=True)
         allp = allp.loc[~allp["doc_id"].isin(failed)]
-        allp = allp.sort_values(["doc_id", "in_off", "pos", "seq"], kind="stable").reset_index(
-            drop=True
-        )
-        allp["out_offset"] = allp.groupby("doc_id", sort=False).cumcount().astype(np.int32)
+        idx = pd.Index(pd.Series(all_doc_ids, dtype=object))
+        if idx.is_unique:
+            # out_offset only needs per-doc grouping + within-doc
+            # (in_off, pos, seq) order, so an integer doc code replaces the
+            # object-string sort key — value-identical, no string compares
+            codes = idx.get_indexer(allp["doc_id"].to_numpy(dtype=object))
+            order = np.lexsort(
+                (
+                    allp["seq"].to_numpy(),
+                    allp["pos"].to_numpy(),
+                    allp["in_off"].to_numpy(),
+                    codes,
+                )
+            )
+            allp = allp.iloc[order].reset_index(drop=True)
+            allp["out_offset"] = (
+                grouped_cumsum(np.ones(len(allp), np.int64), codes[order]) - 1
+            ).astype(np.int32)
+        else:
+            allp = allp.sort_values(
+                ["doc_id", "in_off", "pos", "seq"], kind="stable"
+            ).reset_index(drop=True)
+            allp["out_offset"] = (
+                allp.groupby("doc_id", sort=False).cumcount().astype(np.int32)
+            )
     else:
         allp = _empty_out().assign(in_off=np.int64(0), pos=np.int64(0), seq=np.int64(0))
 
@@ -416,16 +438,30 @@ def _rows_to_record_batch(
 ) -> pa.RecordBatch:
     """Reassemble output span rows into the EXTRACTED_ARROW batch, preserving the
     input doc order and emitting an empty spans array for spanless docs."""
-    order = pd.DataFrame({"doc_id": doc_ids, "_doc_pos": np.arange(len(doc_ids))})
-    o = out.merge(order, on="doc_id", how="inner")
-    o = o.sort_values(["_doc_pos", "out_offset"], kind="stable")
-
-    counts = (
-        o.groupby("_doc_pos", sort=True)
-        .size()
-        .reindex(range(len(doc_ids)), fill_value=0)
-        .to_numpy()
-    )
+    idx = pd.Index(doc_ids)
+    if idx.is_unique:
+        # hash-map doc position + integer lexsort instead of an object-key
+        # merge + sort_values — same rows, same order (out_offset is unique
+        # per doc, so the sort is deterministic)
+        pos = idx.get_indexer(out["doc_id"].to_numpy(dtype=object))
+        if (pos < 0).any():  # inner-merge semantics: drop unknown doc rows
+            m = pos >= 0
+            out = out.loc[m]
+            pos = pos[m]
+        order = np.lexsort((out["out_offset"].to_numpy(), pos))
+        o = out.iloc[order]
+        pos = pos[order]
+        counts = np.bincount(pos, minlength=len(doc_ids))
+    else:
+        order_df = pd.DataFrame({"doc_id": doc_ids, "_doc_pos": np.arange(len(doc_ids))})
+        o = out.merge(order_df, on="doc_id", how="inner")
+        o = o.sort_values(["_doc_pos", "out_offset"], kind="stable")
+        counts = (
+            o.groupby("_doc_pos", sort=True)
+            .size()
+            .reindex(range(len(doc_ids)), fill_value=0)
+            .to_numpy()
+        )
     offsets = np.zeros(len(doc_ids) + 1, dtype=np.int32)
     np.cumsum(counts, out=offsets[1:])
 

@@ -36,6 +36,10 @@ from .util import grouped_cumsum
 _HEADER_RE = r"^PAGE\t(\d+(?:\.\d+)?)\t(\d+(?:\.\d+)?)$"
 _NUM_FULL_RE = r"^-?\d+(?:\.\d+)?$"
 _INT_FULL_RE = r"^-?\d+$"
+# ONE structural regex over the whole record — exactly 8 tab-separated fields:
+# word (tab-free), five numerics (conf,x,y,w,h), two integers (block,line).
+# Equivalent to the per-field (fcnt==8) + 7 field-regex checks it replaced.
+_EVENT_FULL_RE = r"^[^\t]*\t(?:-?\d+(?:\.\d+)?\t){5}-?\d+\t-?\d+$"
 # the exact Python str.isspace() codepoint class (str.strip() strips these)
 _PY_WS_CLASS = (
     "[\\x09-\\x0d\\x1c-\\x20\\x85\\xa0\\x{1680}"
@@ -138,14 +142,9 @@ def decode_ocr_core(pages: pd.DataFrame) -> tuple[OcrEvents, pd.Index]:
     fcnt = np.diff(foff)
     fvals = fields.values
 
-    shape_ok = fcnt == 8
-    num_ok = shape_ok.copy()
-    for i, rex in ((1, _NUM_FULL_RE), (2, _NUM_FULL_RE), (3, _NUM_FULL_RE),
-                   (4, _NUM_FULL_RE), (5, _NUM_FULL_RE), (6, _INT_FULL_RE),
-                   (7, _INT_FULL_RE)):
-        fi = _list_field(fvals, foff, fcnt, i)
-        num_ok &= pc.match_substring_regex(fi, rex).to_numpy(zero_copy_only=False)
-    row_ok = shape_ok & num_ok
+    row_ok = pc.match_substring_regex(body, _EVENT_FULL_RE).to_numpy(
+        zero_copy_only=False
+    )
 
     bad_pages_mask = bad_page.copy()
     if (~row_ok).any():

@@ -112,6 +112,10 @@ class PdfEvents:
         """Restrict to pages where page_mask[prow] (page_tab unchanged — prow codes
         stay valid)."""
         m = page_mask[self.prow]
+        if m.all():
+            # nothing filtered (the common all-searchable batch): skip eight
+            # full-array gather copies; events are read-only downstream
+            return self
         return PdfEvents(
             self.prow[m], self.cp[m], self.has_bbox[m],
             self.x0[m], self.y0[m], self.x1[m], self.y1[m], self.page_tab,
