@@ -356,17 +356,29 @@ def _flat_within(counts: np.ndarray):
     return total, seg, within
 
 
-def _ngram_spans_ascii(buf, offs, rows, gram: int):
+def _space_scan(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """ONE pass over the batch buffer shared by every n-gram consumer:
+    (space positions, cumulative space count) — the review-filed fix for the
+    kernels re-deriving buf == 0x20 up to three times per batch."""
+    mask = buf == 0x20
+    sp_all = np.nonzero(mask)[0]
+    csp = np.zeros(len(buf) + 1, dtype=np.int64)
+    np.cumsum(mask, out=csp[1:])
+    return sp_all, csp
+
+
+def _ngram_spans_ascii(buf, offs, rows, gram: int, space_scan=None):
     """Word-n-gram byte spans for ASCII rows (joined with the original single
     spaces — a word-n-gram IS a contiguous byte span of the row): per row
     max(n_tok - gram + 1, 1) grams; rows-major flat arrays plus per-row
     counts. Fully vectorized: token bounds for the whole batch come from one
-    space scan + segment arithmetic, no per-row Python."""
+    space scan + segment arithmetic, no per-row Python. Callers that already
+    ran :func:`_space_scan` pass its result via ``space_scan``."""
     nsel = len(rows)
     counts = np.empty(nsel, dtype=np.int64)
     if nsel == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64), counts
-    sp_all = np.nonzero(buf == 0x20)[0]
+    sp_all, csp = space_scan if space_scan is not None else _space_scan(buf)
     if nsel == len(offs) - 1:
         sp = sp_all  # every row selected — no filtering needed
     else:
@@ -374,8 +386,6 @@ def _ngram_spans_ascii(buf, offs, rows, gram: int):
         rowmask[rows] = True
         sp = sp_all[rowmask[np.searchsorted(offs, sp_all, side="right") - 1]]
     # spaces per selected row via cumulative space counts at row bounds
-    csp = np.zeros(len(buf) + 1, dtype=np.int64)
-    np.cumsum(buf == 0x20, out=csp[1:])
     nsp = csp[offs[rows + 1]] - csp[offs[rows]]
     ntok = nsp + 1
     # flat token starts/ends (global byte positions), grouped by selected row
@@ -434,12 +444,14 @@ def _ngram_parts(batch_t, gram: int):
         offs = offs - offs[0]
     nrows = len(offs) - 1
     ascii_ok = _ascii_rows(buf, offs)
-    ntok_all = _ascii_spaces(buf, offs) + 1  # 0x20 never inside UTF-8 multibyte
+    scan = _space_scan(buf)
+    # 0x20 never appears inside a UTF-8 multibyte sequence
+    ntok_all = (scan[1][offs[1:]] - scan[1][offs[:-1]]) + 1
     rows = np.nonzero(ascii_ok)[0]
     h_parts: list = []
     row_parts: list = []
     if rows.size:
-        starts, lens, counts = _ngram_spans_ascii(buf, offs, rows, gram)
+        starts, lens, counts = _ngram_spans_ascii(buf, offs, rows, gram, scan)
         h_parts.append(_hash_spans(buf, starts, lens))
         row_parts.append(np.repeat(rows, counts))
     for r in np.nonzero(~ascii_ok)[0]:
@@ -551,11 +563,11 @@ def ngram_string_batches(gram: int):
             py_rows: list = []
             rows = np.nonzero(ascii_ok)[0]
             if rows.size:
-                starts, lens, counts = _ngram_spans_ascii(buf, offs, rows, gram)
+                scan = _space_scan(buf)
+                starts, lens, counts = _ngram_spans_ascii(buf, offs, rows, gram, scan)
                 # rows with < gram tokens produced ONE whole-text pseudo-gram;
                 # drop them (the Catalyst formulation filters n >= gram)
-                csp = np.zeros(len(buf) + 1, dtype=np.int64)
-                np.cumsum(buf == 0x20, out=csp[1:])
+                csp = scan[1]
                 ntok = csp[offs[rows + 1]] - csp[offs[rows]] + 1
                 ok = ntok >= gram
                 keep = np.repeat(ok, counts)
@@ -712,9 +724,9 @@ def ngram_distinct_array_batches(gram: int):
             sel_rows_parts: list = []
             py_vals: dict[int, list] = {}
             if rows.size:
-                starts, lens, counts = _ngram_spans_ascii(buf, offs, rows, gram)
-                csp = np.zeros(len(buf) + 1, dtype=np.int64)
-                np.cumsum(buf == 0x20, out=csp[1:])
+                scan = _space_scan(buf)
+                starts, lens, counts = _ngram_spans_ascii(buf, offs, rows, gram, scan)
+                csp = scan[1]
                 ntok = csp[offs[rows + 1]] - csp[offs[rows]] + 1
                 keep = np.repeat(ntok >= gram, counts)
                 starts, lens = starts[keep], lens[keep]
