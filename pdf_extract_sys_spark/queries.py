@@ -1393,16 +1393,31 @@ def connected_components(
         # carry the round-start label through as `prev` (r6): the convergence
         # check then counts on the already-materialized round output instead
         # of joining back against the previous labels — one join and one
-        # shuffle fewer per round, identical `changed` value
-        prop = (
+        # shuffle fewer per round, identical `changed` value.
+        # r6 continuation: the propagate step is ONE union + groupBy instead
+        # of groupBy(nbr_min) + left-join-back — min over {own label} ∪
+        # {neighbor labels} IS least(label, min(nbr)), and `prev` comes back
+        # as the min over the flagged self row (unique per doc). Same values,
+        # one shuffle and one join fewer per round.
+        self_rows = labels.select(
+            "doc_id", F.col("label").alias("cand"), F.lit(True).alias("own")
+        )
+        nbr_rows = (
             sym.join(labels, sym["doc_a"] == labels["doc_id"])
-            .groupBy(F.col("doc_b").alias("doc_id"))
-            .agg(F.min("label").alias("nbr_min"))
+            .select(
+                F.col("doc_b").alias("doc_id"),
+                F.col("label").alias("cand"),
+                F.lit(False).alias("own"),
+            )
         )
         stepped = (
-            labels.join(prop, "doc_id", "left")
-            .select("doc_id", F.col("label").alias("prev"),
-                    F.least("label", F.coalesce("nbr_min", "label")).alias("label"))
+            self_rows.unionByName(nbr_rows)
+            .groupBy("doc_id")
+            .agg(
+                F.min("cand").alias("label"),
+                F.min(F.when(F.col("own"), F.col("cand"))).alias("prev"),
+            )
+            .select("doc_id", "prev", "label")
         )
         lut = stepped.select(F.col("doc_id").alias("label"), F.col("label").alias("label2"))
         doubled = (
