@@ -279,11 +279,18 @@ def extract_docs(
         allp = pd.concat(parts, ignore_index=True)
         allp = allp.loc[~allp["doc_id"].isin(failed)]
         idx = pd.Index(pd.Series(all_doc_ids, dtype=object))
-        if idx.is_unique:
+        codes = (
+            idx.get_indexer(allp["doc_id"].to_numpy(dtype=object))
+            if idx.is_unique
+            else None
+        )
+        # -1 codes (span doc_ids outside all_doc_ids — impossible from the
+        # internal callers, but this is a public function) would collapse
+        # into ONE group; keep the exact per-doc_id numbering path for them
+        if codes is not None and (len(codes) == 0 or codes.min() >= 0):
             # out_offset only needs per-doc grouping + within-doc
             # (in_off, pos, seq) order, so an integer doc code replaces the
             # object-string sort key — value-identical, no string compares
-            codes = idx.get_indexer(allp["doc_id"].to_numpy(dtype=object))
             order = np.lexsort(
                 (
                     allp["seq"].to_numpy(),

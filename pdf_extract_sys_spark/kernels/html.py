@@ -79,10 +79,19 @@ def extract_html_spans(docs: pd.DataFrame) -> pd.DataFrame:
     docs = docs.reset_index(drop=True)
     payloads = pa.array(docs["payload"].to_numpy(dtype=object), type=pa.string())
     # ASCII ⟺ utf8 length == byte length; the RE2 chain is exactly equivalent
-    # to the Python-re chain only there (see module docstring)
-    if payloads.null_count == 0 and pc.all(
-        pc.equal(pc.utf8_length(payloads), pc.binary_length(payloads))
-    ).as_py():
+    # to the Python-re chain only there (see module docstring). NUL-bearing
+    # payloads are additionally excluded: the reference chain's numpy '<U'
+    # line buffer silently truncates TRAILING \x00 per line, a quirk the
+    # Arrow path does not reproduce — such payloads take the reference path.
+    if (
+        payloads.null_count == 0
+        and pc.all(
+            pc.equal(pc.utf8_length(payloads), pc.binary_length(payloads))
+        ).as_py()
+        and not pc.any(
+            pc.greater(pc.count_substring(payloads, "\x00"), 0)
+        ).as_py()
+    ):
         return _extract_html_spans_arrow(docs, payloads)
     return _extract_html_spans_pandas(docs)
 

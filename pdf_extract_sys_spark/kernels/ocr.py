@@ -137,11 +137,6 @@ def decode_ocr_core(pages: pd.DataFrame) -> tuple[OcrEvents, pd.Index]:
         bad_docs = pd.Index(sorted(set(page_tab.loc[bad_page, "doc_id"])))
         return _empty_events(page_tab), bad_docs
 
-    fields = pc.split_pattern(body, "\t")
-    foff = fields.offsets.to_numpy(zero_copy_only=False)
-    fcnt = np.diff(foff)
-    fvals = fields.values
-
     row_ok = pc.match_substring_regex(body, _EVENT_FULL_RE).to_numpy(
         zero_copy_only=False
     )
@@ -158,10 +153,13 @@ def decode_ocr_core(pages: pd.DataFrame) -> tuple[OcrEvents, pd.Index]:
         bprow = bprow[keep]
         if len(body) == 0:
             return _empty_events(page_tab), bad_docs
-        fields = pc.split_pattern(body, "\t")
-        foff = fields.offsets.to_numpy(zero_copy_only=False)
-        fcnt = np.diff(foff)
-        fvals = fields.values
+
+    # split ONCE, after the keep-filter: validation is the full-line regex
+    # above, so the fields are only needed for the surviving rows
+    fields = pc.split_pattern(body, "\t")
+    foff = fields.offsets.to_numpy(zero_copy_only=False)
+    fcnt = np.diff(foff)
+    fvals = fields.values
 
     def fnum(i: int) -> np.ndarray:
         return pc.cast(_list_field(fvals, foff, fcnt, i), pa.float64()).to_numpy(

@@ -1417,6 +1417,10 @@ def connected_components(
                 F.min("cand").alias("label"),
                 F.min(F.when(F.col("own"), F.col("cand"))).alias("prev"),
             )
+            # an edge endpoint absent from `nodes` has no self row (prev NULL);
+            # drop it so the node set stays exactly `nodes`, as the old
+            # left-join-back formulation guaranteed
+            .filter(F.col("prev").isNotNull())
             .select("doc_id", "prev", "label")
         )
         lut = stepped.select(F.col("doc_id").alias("label"), F.col("label").alias("label2"))

@@ -75,3 +75,15 @@ def test_chain_matches_recursive_cte_oracle(spark):
         """
     ).fetchall()
     assert got == [(int(a), int(b)) for a, b in want]
+
+
+def test_foreign_edge_endpoints_stay_out_of_labels(spark):
+    # an edge endpoint that is NOT in `nodes` must not appear in the result
+    # (the fused union+groupBy propagate drops it via the prev-NULL filter;
+    # the old left-join-back formulation guaranteed this structurally)
+    nodes = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    edges = spark.createDataFrame([(1, 2), (2, 99)], ["doc_a", "doc_b"])
+    labels = connected_components(nodes, edges)
+    rows = {r["doc_id"]: r["label"] for r in labels.collect()}
+    assert set(rows) == {1, 2}, rows
+    assert rows == {1: 1, 2: 1}

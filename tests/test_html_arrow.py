@@ -120,3 +120,22 @@ def test_no_kept_lines(payload):
     docs = pd.DataFrame({"doc_id": ["a"], "page": [0], "payload": [payload]})
     out = H.extract_html_spans(docs)
     assert len(out) == 0
+
+
+def test_nul_payloads_route_to_reference_path():
+    # trailing \x00 per line is silently truncated by the reference chain's
+    # numpy '<U' line buffer; the dispatcher must route NUL-bearing payloads
+    # to the reference path (review finding: the arrow chain preserves NULs)
+    docs = pd.DataFrame(
+        {
+            "doc_id": ["a", "b"],
+            "page": [0, 0],
+            "payload": [
+                "x" * 24 + "\x00" + "<br>more text that is long enough here",
+                "plain ascii paragraph that is long enough to keep ok",
+            ],
+        }
+    )
+    got = H.extract_html_spans(docs)
+    ref = H._extract_html_spans_pandas(docs)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), ref.reset_index(drop=True))
